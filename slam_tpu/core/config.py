@@ -1,0 +1,169 @@
+"""Configuration system.
+
+The reference has no config layer: ~20 knobs live as constexprs and argv
+positionals scattered through the apps (SURVEY.md section 5). Here every
+tunable is a frozen dataclass so configs are hashable (usable as jit static
+arguments) and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RaycastConfig:
+    """Ray-march parameters (`slam/raycast.h:13-28` defaults step=0.5)."""
+
+    step: float = 0.5
+    max_dist: float = 500.0
+    # Backend: "march" = exact fixed-step DDA (reference semantics);
+    # "lut" = precomputed directional distance transform (static maps only).
+    backend: str = "march"
+    # Steps marched per early-exit chunk in the "march" backend.
+    chunk: int = 64
+    # Angular bins for the "lut" backend.
+    lut_bins: int = 360
+
+    @property
+    def max_steps(self) -> int:
+        return int(math.ceil(self.max_dist / self.step))
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Simulated lidar (`slam/fake_lidar.h:10-23`, app config
+    `apps/grid_slam.cpp:88-97`)."""
+
+    start: float = 0.0
+    stop: float = 2.0 * math.pi
+    max_dist: float = 500.0
+    stddev: float = 5.0
+    n_rays: int = 90
+    # The reference never applies its stddev to simulated ranges
+    # (`slam/fake_lidar.cpp:15-33`); the notebook prototype did (cell 8).
+    # 0.0 reproduces the C++; >0 adds Gaussian range noise.
+    noise_stddev: float = 0.0
+
+    @property
+    def angles(self) -> Tuple[float, ...]:
+        rng = self.stop - self.start
+        step = rng / self.n_rays
+        return tuple(k * step - rng / 2.0 for k in range(self.n_rays))
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    """Thrun odometry motion-model noise (`slam/motion.cpp:9-32`); defaults
+    from `apps/grid_slam.cpp:132`."""
+
+    alphas: Tuple[float, float, float, float] = (0.001, 0.001, 0.001, 0.001)
+
+
+@dataclasses.dataclass(frozen=True)
+class VelocityMotionConfig:
+    """Velocity motion-model noise (`slam/motion.cpp:34-56`)."""
+
+    alphas: Tuple[float, float, float, float, float, float] = (
+        0.001,
+        0.001,
+        0.001,
+        0.001,
+        0.001,
+        0.001,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Shared log-odds occupancy grid.
+
+    Additive log-odds (textbook, `slam/util.h:72-73` semantics) replaces the
+    reference's multiplicative clamped updates (`slam/raycast.cpp:178-213`);
+    SURVEY.md section 5 quirk 4 records this as a deliberate fix.
+    """
+
+    height: int = 1000
+    width: int = 1000
+    l_occ: float = 0.85  # log-odds increment for an occupied observation
+    l_free: float = -0.4  # log-odds increment for a free observation
+    l_min: float = -6.0
+    l_max: float = 6.0
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveConfig:
+    """Augmented MCL random-particle injection (notebook cell 9:
+    alpha_slow=0.1, alpha_fast=0.9, inject ratio 1 - w_fast/w_slow)."""
+
+    alpha_slow: float = 0.1
+    alpha_fast: float = 0.9
+
+
+@dataclasses.dataclass(frozen=True)
+class MCLConfig:
+    n_particles: int = 1000
+    # Beam-model noise (`apps/grid_slam.cpp:88` FAKE_LIDAR_STDDEV=5).
+    meas_stddev: float = 5.0
+    # Additive weight floor per beam (`slam/raycast.cpp:233` EPSILON=0.1).
+    meas_epsilon: float = 0.1
+    # "systematic" (low-variance, the upgrade SURVEY section 5 quirk 2 names)
+    # or "multinomial" (reference fidelity, `slam/mcl.cpp:157-203`).
+    resample: str = "systematic"
+    # Resample only when effective sample size falls below this fraction of N;
+    # 1.0 resamples every update like the reference (`slam/mcl.cpp:232-239`).
+    ess_threshold: float = 1.0
+    # Lidar mounting offset in the robot frame (`apps/grid_slam.cpp:99`
+    # SCANNER_OFFSET = {0, 30, 0}).
+    scanner_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    adaptive: Optional[AdaptiveConfig] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Full grid-SLAM: MCL + shared-map log-odds occupancy mapping."""
+
+    mcl: MCLConfig = MCLConfig()
+    map: MapConfig = MapConfig()
+    lidar: LidarConfig = LidarConfig()
+    motion: MotionConfig = MotionConfig()
+    raycast: RaycastConfig = RaycastConfig()
+    # Map update throttling: update the map from the estimated pose every
+    # k-th scan (1 = every scan).
+    map_every: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridAStarConfig:
+    """Kinematic planner parameters (`slam/hastar.h:14-119`; app defaults
+    `apps/hastar_planner.cpp:21-25`)."""
+
+    velocity: float = 10.0
+    max_steering: float = 40.0 * math.pi / 180.0
+    length: float = 10.0 / math.tan(40.0 * math.pi / 180.0) * 2.0
+    theta_res: int = 5
+    branching_factor: int = 3
+    tol: float = 5.0
+    diff_drive: bool = True
+    reverse_factor: float = 10.0  # `slam/hastar.cpp:95`
+    # Frontier nodes expanded per device step (batched A* round size).
+    batch: int = 256
+    max_rounds: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class RRTStarConfig:
+    """RRT* parameters (`slam/rrtstar.h:12-64`; app defaults
+    `apps/rrt_planner.cpp`: reach=20, radius=50)."""
+
+    reach: float = 20.0
+    radius: float = 50.0
+    max_nodes: int = 4096
+    # Candidate samples drawn per batched round.
+    batch: int = 64
