@@ -1,0 +1,114 @@
+"""Particle resampling as prefix sums + searchsorted.
+
+The reference resamples multinomially with a serial cumulative sum and a
+per-draw binary search (`slam/mcl.cpp:157-203`, O(N log N) scalar), then
+deep-copies maps across core-pinned threads. Here the cumulative distribution
+is one vectorized cumsum, draws are a batched `searchsorted`, and "copying"
+a particle is a gather over the SoA state — no maps to clone in shared-map
+mode.
+
+Two selection schemes:
+  * `multinomial_indices` — reference fidelity (independent draws);
+  * `systematic_indices` — low-variance/systematic resampling (the upgrade
+    SURVEY.md section 5 quirk 2 names; the notebook prototype's direction).
+
+Plus augmented-MCL adaptive random-particle injection (notebook cell 9) and
+the ESS trigger for optional resample throttling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.core import grid as gridlib
+from slam_tpu.core.types import Particles, Pose
+
+
+def normalized_weights(log_w):
+    return jax.nn.softmax(log_w)
+
+
+def effective_sample_size(log_w):
+    """ESS = 1 / sum(w_i^2) for normalized w."""
+    w = normalized_weights(log_w)
+    return 1.0 / jnp.sum(w * w)
+
+
+def multinomial_indices(key, log_w):
+    """N independent draws from the weight distribution — the reference's
+    `probabilistic_fitness_selection` (`slam/mcl.cpp:157-203`)."""
+    n = log_w.shape[0]
+    c = jnp.cumsum(normalized_weights(log_w))
+    u = jax.random.uniform(key, (n,)) * c[-1]
+    return jnp.clip(jnp.searchsorted(c, u, side="left"), 0, n - 1)
+
+
+def systematic_indices(key, log_w):
+    """Low-variance systematic resampling: one uniform offset, N stratified
+    positions, a single searchsorted."""
+    n = log_w.shape[0]
+    c = jnp.cumsum(normalized_weights(log_w))
+    u0 = jax.random.uniform(key, ()) / n
+    u = u0 + jnp.arange(n, dtype=jnp.float32) / n
+    return jnp.clip(jnp.searchsorted(c, u * c[-1], side="left"), 0, n - 1)
+
+
+def resample(key, particles: Particles, method: str = "systematic") -> Particles:
+    """Select a new particle set and reset weights to uniform."""
+    if method == "systematic":
+        idx = systematic_indices(key, particles.log_weight)
+    elif method == "multinomial":
+        idx = multinomial_indices(key, particles.log_weight)
+    else:
+        raise ValueError(f"unknown resample method: {method}")
+    n = particles.n
+    gathered = jax.tree.map(lambda a: a[idx], particles.pose)
+    return Particles(
+        pose=gathered,
+        log_weight=jnp.full((n,), -jnp.log(n), particles.log_weight.dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# Augmented MCL (notebook cell 9): track fast/slow weight averages and inject
+# uniform random particles over free space when the fast average collapses.
+# --------------------------------------------------------------------------
+
+
+def update_w_averages(log_w, w_slow, w_fast, alpha_slow=0.1, alpha_fast=0.9):
+    """w_slow/w_fast EMAs of the mean unnormalized weight."""
+    w_avg = jnp.mean(jnp.exp(log_w))
+    w_slow = w_slow + alpha_slow * (w_avg - w_slow)
+    w_fast = w_fast + alpha_fast * (w_avg - w_fast)
+    return w_slow, w_fast
+
+
+def injection_ratio(w_slow, w_fast):
+    return jnp.maximum(0.0, 1.0 - w_fast / jnp.maximum(w_slow, 1e-30))
+
+
+def inject_random_particles(
+    key, particles: Particles, blocked: jax.Array, ratio
+) -> Particles:
+    """Replace a `ratio` fraction of particles with uniform poses over free
+    space (rejection via the blocked mask; rejected draws keep the original
+    particle, so the realized ratio is slightly lower near clutter)."""
+    n = particles.n
+    h, w = blocked.shape
+    k_sel, k_i, k_j, k_t = jax.random.split(key, 4)
+
+    replace = jax.random.uniform(k_sel, (n,)) < ratio
+    i = jax.random.randint(k_i, (n,), 0, h)
+    j = jax.random.randint(k_j, (n,), 0, w)
+    free = ~blocked[i, j]
+    use = replace & free
+
+    x, y = gridlib.cell_to_world((h, w), i, j)
+    theta = jax.random.uniform(k_t, (n,), minval=-jnp.pi, maxval=jnp.pi)
+    pose = Pose(
+        x=jnp.where(use, x, particles.pose.x),
+        y=jnp.where(use, y, particles.pose.y),
+        theta=jnp.where(use, theta, particles.pose.theta),
+    )
+    return particles.replace(pose=pose)
