@@ -1,0 +1,194 @@
+"""Monte-Carlo localization: the particle filter core.
+
+TPU-native rebuild of `slam/mcl.{h,cpp}`. Phase mapping:
+
+  MCL::predict (`slam/mcl.cpp:41-47`, per-particle loop)
+      -> one vectorized odometry-model sample over the SoA particle state.
+  MCL::update_inner (`slam/mcl.cpp:49-77`, pthread fan-out over ranges)
+      -> one batched [N, B] raycast + fused log-weight reduction.
+  probabilistic_fitness_selection (`slam/mcl.cpp:157-230`, serial cumsum +
+      binary searches + core-pinned map clones)
+      -> prefix-sum + searchsorted gather (slam_tpu.ops.resample).
+
+Everything is a pure function of `MCLState`; the `MCL` wrapper class jits the
+step functions with the config held static. Weights live in log space —
+the reference's `exp(sum log w)` (`slam/mcl.cpp:73-75`) underflows float32
+at realistic beam counts, so normalization happens via softmax instead.
+
+Augmented MCL (random-particle injection driven by fast/slow likelihood
+averages) comes from the reference's notebook prototype (cell 9), which the
+C++ dropped; enable with `MCLConfig.adaptive`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from slam_tpu.core import stats
+from slam_tpu.core.config import MCLConfig, RaycastConfig
+from slam_tpu.core.types import Odometry, Particles, Pose, Scan
+from slam_tpu.ops import measurement, motion, resample
+
+
+@struct.dataclass
+class MCLState:
+    particles: Particles
+    key: jax.Array
+    # Best particle (by pre-resample weight) after the latest update.
+    best_pose: Pose
+    # Augmented-MCL likelihood EMAs, in log space.
+    log_w_slow: jax.Array
+    log_w_fast: jax.Array
+    step: jax.Array
+
+
+def starting_pose(h: int, w: int) -> Pose:
+    """Canvas-center start (`slam/mcl.cpp:22-25`: {w/2, h/2, pi/2})."""
+    return Pose.create(w / 2.0, h / 2.0, jnp.pi / 2.0)
+
+
+def init(key, n_particles: int, pose: Pose) -> MCLState:
+    """All particles at `pose` with uniform weights (`slam/mcl.cpp:27-39`)."""
+    return MCLState(
+        particles=Particles.uniform_at(pose, n_particles),
+        key=key,
+        best_pose=pose,
+        log_w_slow=jnp.float32(0.0),
+        log_w_fast=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+def init_uniform(key, n_particles: int, blocked: jax.Array) -> MCLState:
+    """Global-localization init: particles uniform over free space (the
+    notebook's grid+random initialization, cell 9)."""
+    state = init(key, n_particles, starting_pose(*blocked.shape))
+    k_inj, k_next = jax.random.split(key)
+    particles = resample.inject_random_particles(
+        k_inj, state.particles, blocked, 1.0
+    )
+    return state.replace(particles=particles, key=k_next)
+
+
+def predict(state: MCLState, odom: Odometry, alphas) -> MCLState:
+    """Diffuse every particle through the odometry motion model."""
+    key, sub = jax.random.split(state.key)
+    pose = motion.sample_motion_model_odometry(
+        sub, odom, state.particles.pose, alphas
+    )
+    return state.replace(
+        particles=state.particles.replace(pose=pose),
+        key=key,
+        step=state.step + 1,
+    )
+
+
+def update(
+    state: MCLState,
+    scan: Scan,
+    blocked: jax.Array,
+    cfg: MCLConfig,
+    rc: RaycastConfig,
+) -> MCLState:
+    """Weight against one scan, then (conditionally) resample.
+
+    `blocked` is the bool[H, W] occupancy the beams raycast against — the
+    static map in localization mode, thresholded log-odds in SLAM mode.
+    """
+    lw = measurement.particle_log_weights(
+        blocked,
+        state.particles.pose,
+        scan,
+        scanner_offset=cfg.scanner_offset,
+        stddev=cfg.meas_stddev,
+        eps=cfg.meas_epsilon,
+        max_dist=rc.max_dist,
+        step=rc.step,
+        chunk=rc.chunk,
+    )
+    log_weight = state.particles.log_weight + lw
+    best_idx = jnp.argmax(log_weight)
+    best_pose = jax.tree.map(lambda a: a[best_idx], state.particles.pose)
+    particles = state.particles.replace(log_weight=log_weight)
+
+    key, k_rs, k_inj = jax.random.split(state.key, 3)
+
+    # Conditional resample on effective sample size (threshold 1.0 == always,
+    # the reference's behavior `slam/mcl.cpp:232-239`).
+    ess = resample.effective_sample_size(log_weight)
+    n = particles.n
+
+    def do_resample(p):
+        return resample.resample(k_rs, p, cfg.resample)
+
+    particles = jax.lax.cond(
+        ess <= cfg.ess_threshold * n, do_resample, lambda p: p, particles
+    )
+
+    log_w_slow, log_w_fast = state.log_w_slow, state.log_w_fast
+    if cfg.adaptive is not None:
+        # EMAs of the mean unnormalized likelihood, tracked in log space.
+        log_w_avg = jax.nn.logsumexp(lw) - jnp.log(n)
+        a_s, a_f = cfg.adaptive.alpha_slow, cfg.adaptive.alpha_fast
+        log_w_slow = jnp.logaddexp(
+            jnp.log1p(-a_s) + log_w_slow, jnp.log(a_s) + log_w_avg
+        )
+        log_w_fast = jnp.logaddexp(
+            jnp.log1p(-a_f) + log_w_fast, jnp.log(a_f) + log_w_avg
+        )
+        ratio = jnp.maximum(0.0, 1.0 - jnp.exp(log_w_fast - log_w_slow))
+        particles = resample.inject_random_particles(
+            k_inj, particles, blocked, ratio
+        )
+
+    return state.replace(
+        particles=particles,
+        key=key,
+        best_pose=best_pose,
+        log_w_slow=log_w_slow,
+        log_w_fast=log_w_fast,
+    )
+
+
+def mean_pose(state: MCLState) -> Pose:
+    """Circular-mean pose over particles (`slam/util.cpp:66-85`; unweighted,
+    as the reference renders it post-resample)."""
+    x, y, th = stats.average_pose(
+        state.particles.pose.x, state.particles.pose.y, state.particles.pose.theta
+    )
+    return Pose(x=x, y=y, theta=th)
+
+
+class MCL:
+    """Convenience wrapper mirroring the reference's class API
+    (`slam/mcl.h:12-46`) with jitted internals and explicit state."""
+
+    def __init__(
+        self,
+        cfg: MCLConfig,
+        rc: RaycastConfig = RaycastConfig(),
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.rc = rc
+        self._predict = jax.jit(predict)
+        self._update = jax.jit(
+            lambda s, scan, blocked: update(s, scan, blocked, cfg, rc)
+        )
+
+    def init(self, h: int, w: int) -> MCLState:
+        return init(
+            jax.random.key(0), self.cfg.n_particles, starting_pose(h, w)
+        )
+
+    def predict(self, state, odom: Odometry, alphas) -> MCLState:
+        return self._predict(state, odom, jnp.asarray(alphas))
+
+    def update(self, state, scan: Scan, blocked) -> MCLState:
+        return self._update(state, scan, blocked)
+
+    @staticmethod
+    def sensor_position(pose: Pose, scanner_offset) -> Pose:
+        return measurement.sensor_pose(pose, scanner_offset)

@@ -1,0 +1,98 @@
+"""Full grid SLAM: MCL localization + shared-map log-odds occupancy mapping.
+
+The reference's RBPF-style design gives every particle its own uint8 map and
+fuses mapping into weighting (`slam/mcl.cpp:49-77` -> `slam/raycast.cpp:
+143-223`), which costs N x H x W bytes and N map deep-copies per resample
+(`slam/mcl.cpp:205-227`). The TPU architecture (SURVEY.md section 7) keeps
+ONE shared log-odds grid: all particles weight against the frozen grid, then
+the grid updates once from the estimated pose. A small-N exact per-particle
+mode for A/B fidelity lives in `slam_tpu.ops.mapping.
+fidelity_measurement_and_mapping`.
+
+One SLAM step = predict(odometry) -> weight(scan) -> estimate -> map update
+-> resample; the whole step is one jitted program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from slam_tpu.core import grid as gridlib
+from slam_tpu.core.config import SLAMConfig
+from slam_tpu.core.types import Odometry, Pose, Scan
+from slam_tpu.models import mcl as mcl_mod
+from slam_tpu.ops import mapping
+
+
+@struct.dataclass
+class SLAMState:
+    mcl: mcl_mod.MCLState
+    grid: jax.Array  # f32[H, W] log-odds of occupancy
+
+
+def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
+    h, w = cfg.map.shape
+    if pose is None:
+        pose = mcl_mod.starting_pose(h, w)
+    return SLAMState(
+        mcl=mcl_mod.init(key, cfg.mcl.n_particles, pose),
+        grid=gridlib.uniform_logodds((h, w)),
+    )
+
+
+def step(
+    state: SLAMState, odom: Odometry, scan: Scan, cfg: SLAMConfig
+) -> SLAMState:
+    """One full SLAM step (predict + update + map + resample)."""
+    st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
+    blocked = gridlib.blocked_from_logodds(state.grid)
+    st = mcl_mod.update(st, scan, blocked, cfg.mcl, cfg.raycast)
+
+    # Map from the best particle's pose (the reference renders/keeps the best
+    # particle's map, `slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`).
+    new_grid = mapping.scan_logodds_update(
+        state.grid,
+        st.best_pose,
+        scan,
+        scanner_offset=cfg.mcl.scanner_offset,
+        step=cfg.raycast.step,
+        max_dist=cfg.raycast.max_dist,
+        l_occ=cfg.map.l_occ,
+        l_free=cfg.map.l_free,
+        l_min=cfg.map.l_min,
+        l_max=cfg.map.l_max,
+    )
+    do_map = (st.step % cfg.map_every) == 0
+    new_grid = jnp.where(do_map, new_grid, state.grid)
+    return SLAMState(mcl=st, grid=new_grid)
+
+
+def predict_only(state: SLAMState, odom: Odometry, cfg: SLAMConfig) -> SLAMState:
+    """Motion-only step for frames without a scan (`apps/grid_slam.cpp:130-142`
+    predicts every frame but updates every k-th)."""
+    return state.replace(mcl=mcl_mod.predict(state.mcl, odom, cfg.motion.alphas))
+
+
+class GridSLAM:
+    """Jitted wrapper; cfg held static."""
+
+    def __init__(self, cfg: SLAMConfig, seed: int = 0):
+        self.cfg = cfg
+        self._step = jax.jit(lambda s, o, z: step(s, o, z, cfg))
+        self._predict = jax.jit(lambda s, o: predict_only(s, o, cfg))
+        self._key = jax.random.key(seed)
+
+    def init(self, pose: Pose | None = None) -> SLAMState:
+        return init(self._key, self.cfg, pose)
+
+    def step(self, state, odom: Odometry, scan: Scan) -> SLAMState:
+        return self._step(state, odom, scan)
+
+    def predict(self, state, odom: Odometry) -> SLAMState:
+        return self._predict(state, odom)
+
+    def prob_map(self, state) -> jax.Array:
+        """P(occupied) in [0, 1] from the log-odds grid."""
+        return gridlib.log_odds_inv(state.grid)

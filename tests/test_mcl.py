@@ -1,0 +1,170 @@
+"""End-to-end filter tests: localization and SLAM on a synthetic room with
+scripted odometry, ATE-bounded against ground truth (the golden-trajectory
+strategy SURVEY.md section 4 prescribes)."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.core.config import (
+    AdaptiveConfig,
+    LidarConfig,
+    MapConfig,
+    MCLConfig,
+    MotionConfig,
+    RaycastConfig,
+    SLAMConfig,
+)
+from slam_tpu.core.types import Odometry, Pose
+from slam_tpu.models import fake_lidar, mcl, simulate
+from slam_tpu.utils.metrics import ate_rmse
+
+
+def small_cfg(n_particles=300, adaptive=None):
+    return SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=n_particles,
+            meas_stddev=3.0,
+            scanner_offset=(0.0, 0.0, 0.0),
+            adaptive=adaptive,
+        ),
+        map=MapConfig(height=128, width=128),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
+        motion=MotionConfig(alphas=(0.002, 0.002, 0.002, 0.002)),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, chunk=16),
+    )
+
+
+def circuit_commands(n=40):
+    # Drive forward with a gentle constant turn: a loop inside the room.
+    return [Odometry.create(0.04, 2.0, 0.04) for _ in range(n)]
+
+
+class TestFakeLidar:
+    def test_scan_angles_and_misses(self):
+        blocked = jnp.asarray(simulate.synthetic_room())
+        cfg = LidarConfig(max_dist=30.0, n_rays=8, stddev=0.0)
+        scan = fake_lidar.scan(
+            blocked, Pose.create(64.0, 64.0, 0.0), cfg, RaycastConfig(step=1.0)
+        )
+        assert scan.angles.shape == (8,)
+        # angles span [-pi, pi) around the heading
+        np.testing.assert_allclose(
+            np.asarray(scan.angles),
+            np.arange(8) * (2 * np.pi / 8) - np.pi,
+            rtol=1e-5,
+        )
+        d = np.asarray(scan.dists)
+        assert np.all(d <= 30.0) and np.all(d > 0)
+
+    def test_noise_only_on_hits(self):
+        blocked = jnp.zeros((64, 64), bool)
+        cfg = LidarConfig(max_dist=20.0, n_rays=8, noise_stddev=2.0)
+        scan = fake_lidar.scan(
+            blocked,
+            Pose.create(32.0, 32.0, 0.0),
+            cfg,
+            RaycastConfig(step=1.0),
+            key=jax.random.key(0),
+        )
+        np.testing.assert_allclose(np.asarray(scan.dists), 20.0)
+
+
+class TestLocalization:
+    def test_tracks_trajectory(self):
+        cfg = small_cfg()
+        blocked = jnp.asarray(simulate.synthetic_room())
+        res = simulate.run_localization(
+            blocked,
+            cfg,
+            circuit_commands(40),
+            Pose.create(40.0, 40.0, 0.3),
+            seed=0,
+        )
+        ate = ate_rmse(res.est_xy, res.gt_xy)
+        assert ate < 4.0, f"localization ATE {ate:.2f}px"
+
+    def test_beats_dead_reckoning_with_drift(self):
+        """With inflated motion noise, the filter must beat raw odometry."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, motion=MotionConfig(alphas=(0.01, 0.01, 0.01, 0.01))
+        )
+        blocked = jnp.asarray(simulate.synthetic_room())
+        res = simulate.run_localization(
+            blocked, cfg, circuit_commands(50), Pose.create(40.0, 40.0, 0.3), seed=3
+        )
+        ate = ate_rmse(res.est_xy, res.gt_xy)
+        assert ate < 6.0, f"noisy localization ATE {ate:.2f}px"
+
+    def test_adaptive_injection_runs(self):
+        cfg = small_cfg(n_particles=200, adaptive=AdaptiveConfig())
+        blocked = jnp.asarray(simulate.synthetic_room())
+        res = simulate.run_localization(
+            blocked, cfg, circuit_commands(10), Pose.create(40.0, 40.0, 0.3)
+        )
+        assert np.isfinite(res.est_xy).all()
+
+    def test_update_with_scanner_offset(self):
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, mcl=dataclasses.replace(cfg.mcl, scanner_offset=(0.0, 5.0, 0.0))
+        )
+        blocked = jnp.asarray(simulate.synthetic_room())
+        res = simulate.run_localization(
+            blocked, cfg, circuit_commands(20), Pose.create(50.0, 40.0, 0.5), seed=1
+        )
+        ate = ate_rmse(res.est_xy, res.gt_xy)
+        assert ate < 5.0, f"offset localization ATE {ate:.2f}px"
+
+
+class TestSLAM:
+    def test_slam_tracks_and_maps(self):
+        # SLAM drifts in gauge (map and trajectory are self-consistent but
+        # the frame can rotate vs ground truth when odometry is noisy), so:
+        # realistic odometry noise + SE(2)-aligned ATE.
+        cfg = small_cfg(n_particles=300)
+        cfg = dataclasses.replace(
+            cfg, motion=MotionConfig(alphas=(1e-4, 1e-4, 1e-3, 1e-3))
+        )
+        blocked = jnp.asarray(simulate.synthetic_room())
+        res = simulate.run_slam(
+            blocked, cfg, circuit_commands(40), Pose.create(40.0, 40.0, 0.3), seed=0
+        )
+        ate_aligned = ate_rmse(res.est_xy, res.gt_xy, align=True)
+        ate_raw = ate_rmse(res.est_xy, res.gt_xy)
+        assert ate_aligned < 3.0, f"SLAM aligned ATE {ate_aligned:.2f}px"
+        assert ate_raw < 8.0, f"SLAM raw ATE {ate_raw:.2f}px"
+
+        # Every mapped-occupied cell, transported into the gt frame by the
+        # fitted trajectory alignment, must lie near a ground-truth obstacle.
+        from scipy.spatial import cKDTree
+
+        from slam_tpu.utils.metrics import fit_se2
+
+        grid = np.asarray(res.final_state.grid)
+        observed = np.abs(grid) > 0.3
+        gt = np.asarray(blocked)
+        h = gt.shape[0]
+
+        def cells_to_world(mask):
+            ii, jj = np.nonzero(mask)
+            return np.stack([jj + 0.5, h - ii - 0.5], axis=1)  # (x, y)
+
+        r, t = fit_se2(res.est_xy, res.gt_xy)
+        est_pts = cells_to_world(grid > 0) @ r.T + t
+        gt_tree = cKDTree(cells_to_world(gt))
+        d, _ = gt_tree.query(est_pts)
+        precision = (d <= 2.5).mean()
+        assert observed.mean() > 0.2, "too little of the map observed"
+        assert precision > 0.85, f"occupied-cell precision {precision:.2%}"
+
+    def test_global_localization_uniform_init(self):
+        blocked = jnp.asarray(simulate.synthetic_room())
+        st = mcl.init_uniform(jax.random.key(0), 500, blocked)
+        x = np.asarray(st.particles.pose.x)
+        y = np.asarray(st.particles.pose.y)
+        assert x.std() > 20 and y.std() > 20  # spread over the map
