@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Headline benchmark: MCL particle-filter step throughput on one chip.
+
+Reproduces the reference's MCL benchmark configuration
+(`/root/reference/benchmark/mcl.cpp:11-64`: floor_plan map, 90 beams,
+max_dist 500, scanner offset {0,30,0}, odometry {2.5,0.02,0.02}) at the
+north-star particle count of 100k (BASELINE.md), on the shared-map
+architecture. Prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline compares against the measured C++ reference throughput on this
+machine (BASELINE_MEASURED.json; the reference caps out near N=250 because
+each particle owns a full map copy).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def floor_plan_blocked():
+    """bool[H, W] blocked mask of the reference's floor plan, or a synthetic
+    stand-in with similar structure when the asset is unavailable."""
+    path = "/root/reference/assets/floor_plan.png"
+    if os.path.exists(path):
+        from slam_tpu.utils.maps import load_binary_map
+
+        return load_binary_map(path) == 0
+    # Synthetic 1297x599-like floor plan: border walls + rooms with doors.
+    h, w = 599, 1297
+    blocked = np.zeros((h, w), bool)
+    blocked[:4, :] = blocked[-4:, :] = True
+    blocked[:, :4] = blocked[:, -4:] = True
+    for x in range(200, w - 100, 200):  # vertical walls with door gaps
+        blocked[:, x : x + 4] = True
+        blocked[h // 2 - 40 : h // 2 + 40, x : x + 4] = False
+    for y in range(150, h - 80, 150):  # horizontal walls with door gaps
+        blocked[y : y + 4, :] = True
+        blocked[y : y + 4, w // 3 - 40 : w // 3 + 40] = False
+        blocked[y : y + 4, 2 * w // 3 - 40 : 2 * w // 3 + 40] = False
+    return blocked
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--backend", default="lut", choices=["march", "sdf", "lut"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.core.config import LidarConfig, MCLConfig, RaycastConfig
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod
+    from slam_tpu.ops import rayfield
+
+    blocked = jnp.asarray(floor_plan_blocked())
+    h, w = blocked.shape
+
+    lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
+    # Static map -> the one-gather-per-ray LUT backend (the TPU-native fast
+    # path; quality vs the exact march is covered by tests/test_rayfield.py).
+    rc = RaycastConfig(step=0.5, max_dist=500.0, backend=args.backend)
+    cfg = MCLConfig(
+        n_particles=args.particles,
+        meas_stddev=5.0,
+        scanner_offset=(0.0, 30.0, 0.0),
+    )
+
+    pose = Pose.create(400.0, 400.0, np.pi)
+    sensor = mcl_mod.MCL.sensor_position(pose, cfg.scanner_offset)
+    scan = fake_lidar.scan(blocked, sensor, lidar, RaycastConfig(max_dist=500.0))
+
+    field = rayfield.make_ray_field(blocked, rc)  # one-off (map load time)
+    odom = Odometry.create(2.5, 0.02, 0.02)
+    alphas = jnp.asarray((0.0005, 0.0005, 0.01, 0.01))
+
+    # field/scan go in as ARGUMENTS: closed-over arrays become jit constants,
+    # and a constant-embedded LUT (hundreds of MB) blows up compile time.
+    @jax.jit
+    def step(state, field, scan):
+        st = mcl_mod.predict(state, odom, alphas)
+        return mcl_mod.update(st, scan, field, cfg, rc)
+
+    def fence(state):
+        # block_until_ready alone does not synchronize on tunneled backends;
+        # force a tiny host fetch through the dependency chain.
+        np.asarray(jax.device_get(state.particles.log_weight[:1]))
+
+    state = mcl_mod.init(jax.random.key(0), args.particles, pose)
+    for _ in range(args.warmup):
+        state = step(state, field, scan)
+    fence(state)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state = step(state, field, scan)
+    fence(state)
+    secs = time.perf_counter() - t0
+
+    value = args.particles * args.iters / secs
+
+    baseline = 833.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:
+            baseline = json.load(f)["ref_mcl_best_particle_updates_per_s"]
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "mcl_particle_updates_per_s_100k",
+                "value": round(value, 1),
+                "unit": "particle-updates/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+    print(
+        f"# {args.particles} particles x {args.iters} iters in {secs:.2f}s "
+        f"({1e3 * secs / args.iters:.1f} ms/step) on {jax.devices()[0].device_kind}; "
+        f"map {h}x{w}, 90 beams",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,13 +19,18 @@ class RaycastConfig:
 
     step: float = 0.5
     max_dist: float = 500.0
-    # Backend: "march" = exact fixed-step DDA (reference semantics);
-    # "lut" = precomputed directional distance transform (static maps only).
+    # Backend: "march" = exact fixed-step DDA (reference semantics oracle);
+    # "sdf" = sphere tracing over a Euclidean distance transform (fast,
+    # map may change every step); "lut" = precomputed directional distance
+    # table, one gather per ray (fastest, static maps only).
     backend: str = "march"
     # Steps marched per early-exit chunk in the "march" backend.
     chunk: int = 64
     # Angular bins for the "lut" backend.
     lut_bins: int = 360
+    # Safety margin subtracted from EDT steps in the "sdf" backend (>= 1.5
+    # when the EDT comes from JFA, 1.0 for the exact transform).
+    sdf_margin: float = 1.5
 
     @property
     def max_steps(self) -> int:

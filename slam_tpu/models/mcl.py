@@ -29,7 +29,7 @@ from flax import struct
 from slam_tpu.core import stats
 from slam_tpu.core.config import MCLConfig, RaycastConfig
 from slam_tpu.core.types import Odometry, Particles, Pose, Scan
-from slam_tpu.ops import measurement, motion, resample
+from slam_tpu.ops import measurement, motion, rayfield, resample
 
 
 @struct.dataclass
@@ -88,25 +88,28 @@ def predict(state: MCLState, odom: Odometry, alphas) -> MCLState:
 def update(
     state: MCLState,
     scan: Scan,
-    blocked: jax.Array,
+    field,
     cfg: MCLConfig,
     rc: RaycastConfig,
+    ray_sharding=None,
 ) -> MCLState:
     """Weight against one scan, then (conditionally) resample.
 
-    `blocked` is the bool[H, W] occupancy the beams raycast against — the
-    static map in localization mode, thresholded log-odds in SLAM mode.
+    `field` is the map the beams raycast against — a prebuilt `RayField`
+    (static map, localization mode) or a raw bool[H, W] mask (wrapped on the
+    fly; SLAM mode passes thresholded log-odds). `ray_sharding` optionally
+    pins the [N, B] ray batch to a device mesh (see slam_tpu.parallel).
     """
+    field = rayfield.as_ray_field(field, rc)
     lw = measurement.particle_log_weights(
-        blocked,
+        field,
         state.particles.pose,
         scan,
+        rc=rc,
         scanner_offset=cfg.scanner_offset,
         stddev=cfg.meas_stddev,
         eps=cfg.meas_epsilon,
-        max_dist=rc.max_dist,
-        step=rc.step,
-        chunk=rc.chunk,
+        ray_sharding=ray_sharding,
     )
     log_weight = state.particles.log_weight + lw
     best_idx = jnp.argmax(log_weight)
@@ -140,7 +143,7 @@ def update(
         )
         ratio = jnp.maximum(0.0, 1.0 - jnp.exp(log_w_fast - log_w_slow))
         particles = resample.inject_random_particles(
-            k_inj, particles, blocked, ratio
+            k_inj, particles, field.blocked, ratio
         )
 
     return state.replace(

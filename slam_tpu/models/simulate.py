@@ -22,7 +22,7 @@ from slam_tpu.core.types import Odometry, Pose
 from slam_tpu.models import fake_lidar
 from slam_tpu.models import mcl as mcl_mod
 from slam_tpu.models import slam as slam_mod
-from slam_tpu.ops import motion
+from slam_tpu.ops import motion, rayfield
 from slam_tpu.ops.measurement import sensor_pose
 
 
@@ -54,6 +54,8 @@ def run_localization(
 
     m = mcl_mod.MCL(cfg.mcl, cfg.raycast)
     state = mcl_mod.init(k_init, cfg.mcl.n_particles, start_pose)
+    # Static map: build the raycast backend structure (EDT / LUT) once.
+    field = rayfield.make_ray_field(gt_blocked, cfg.raycast)
 
     gt_pose = start_pose
     est_xy, best_xy, gt_xy = [], [], []
@@ -74,7 +76,7 @@ def run_localization(
         if (t + 1) % update_every == 0:
             sp = sensor_pose(gt_pose, cfg.mcl.scanner_offset)
             scan = scan_fn(sp, k_scan)
-            state = m.update(state, scan, gt_blocked)
+            state = m.update(state, scan, field)
 
         mp = mcl_mod.mean_pose(state)
         est_xy.append([float(mp.x), float(mp.y)])

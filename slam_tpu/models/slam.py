@@ -43,12 +43,18 @@ def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
 
 
 def step(
-    state: SLAMState, odom: Odometry, scan: Scan, cfg: SLAMConfig
+    state: SLAMState,
+    odom: Odometry,
+    scan: Scan,
+    cfg: SLAMConfig,
+    ray_sharding=None,
 ) -> SLAMState:
     """One full SLAM step (predict + update + map + resample)."""
     st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
     blocked = gridlib.blocked_from_logodds(state.grid)
-    st = mcl_mod.update(st, scan, blocked, cfg.mcl, cfg.raycast)
+    st = mcl_mod.update(
+        st, scan, blocked, cfg.mcl, cfg.raycast, ray_sharding=ray_sharding
+    )
 
     # Map from the best particle's pose (the reference renders/keeps the best
     # particle's map, `slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`).

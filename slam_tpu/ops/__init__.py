@@ -1,7 +1,10 @@
 from slam_tpu.ops import (  # noqa: F401
+    edt,
+    lut,
     mapping,
     measurement,
     motion,
     raycast,
+    rayfield,
     resample,
 )

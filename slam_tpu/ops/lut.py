@@ -1,0 +1,125 @@
+"""Directional ray-distance lookup tables for static maps.
+
+The measurement update of MCL localization raycasts N_particles x N_beams
+rays against the SAME static map every step (`slam/mcl.cpp:49-77`). On TPU
+the per-ray march is gather-latency-bound, so for static maps we precompute
+the answer: ``lut[b, i, j]`` = distance from the center of cell (i, j) to the
+first blocked cell along angular bin b. A ray query is then ONE gather
+(+ elementwise angle binning) instead of a ~1000-probe march.
+
+Build: for each bin, the map is resampled into a rotated canvas where the bin
+direction becomes "+column"; the run length to the next blocked cell along a
+row is an exact reverse cummin index trick (no sequential marching), and the
+result is sampled back at the original cell centers. Resampling is
+conservative (a rotated cell is blocked if ANY of its 4 bilinear neighbors
+is), so thin walls never develop leaks; distances are thereby shortened by at
+most ~1px.
+
+Errors vs the exact march: angular binning (<= pi/n_bins), rotation resampling
+(<= ~1px), origin-to-cell-center snap (<= ~0.7px). With the reference's
+sigma=5px beam noise (`apps/grid_slam.cpp:88`) these are well inside the
+measurement model's tolerance; tests/test_rayfield.py quantifies them and the
+localization ATE test validates end-to-end quality.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.core import grid as gridlib
+
+
+def build_beam_lut(
+    blocked: jax.Array,
+    n_bins: int = 360,
+    max_dist: float = 500.0,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """[n_bins, H, W] distance-to-obstacle table (values capped just above
+    max_dist so queries >= max_dist read as misses)."""
+    h, w = blocked.shape
+    d = int(math.ceil(math.hypot(h, w))) + 2
+    cap = jnp.float32(max_dist * 1.25)
+
+    ci = (h - 1) / 2.0
+    cj = (w - 1) / 2.0
+    cd = (d - 1) / 2.0
+
+    uu = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0) - cd
+    vv = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1) - cd
+    vcol = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1)
+
+    ii_img = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - ci
+    jj_img = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cj
+
+    blocked_f = blocked
+
+    def sample_blocked(fi, fj):
+        """Conservative: blocked if any of the 4 surrounding cells is."""
+        out = jnp.zeros(fi.shape, bool)
+        for oi in (0, 1):
+            for oj in (0, 1):
+                i = jnp.floor(fi).astype(jnp.int32) + oi
+                j = jnp.floor(fj).astype(jnp.int32) + oj
+                inb = gridlib.in_bounds((h, w), i, j)
+                ic = jnp.clip(i, 0, h - 1)
+                jc = jnp.clip(j, 0, w - 1)
+                out = out | (blocked_f[ic, jc] & inb)
+        return out
+
+    def one_bin(b):
+        theta = b.astype(jnp.float32) * (2.0 * jnp.pi / n_bins)
+        # Ray direction in image coords (world y-up -> image row-down).
+        di = -jnp.sin(theta)
+        dj = jnp.cos(theta)
+        # Rotated-frame axes: +v == ray direction, +u == its perpendicular.
+        # img(u, v) = c + u * (dj, -di) + v * (di, dj)
+        fi = ci + uu * dj + vv * di
+        fj = cj + uu * (-di) + vv * dj
+        rot_blocked = sample_blocked(fi, fj)
+
+        nb = jax.lax.cummin(
+            jnp.where(rot_blocked, vcol, jnp.float32(1 << 20)),
+            axis=1,
+            reverse=True,
+        )
+        run = jnp.minimum(nb - vcol, cap)  # [d, d]
+
+        # Sample back at original cell centers: rotated coords of (i, j).
+        u_q = ii_img * dj + jj_img * (-di) + cd
+        v_q = ii_img * di + jj_img * dj + cd
+        ui = jnp.clip(jnp.round(u_q).astype(jnp.int32), 0, d - 1)
+        vi = jnp.clip(jnp.round(v_q).astype(jnp.int32), 0, d - 1)
+        return run[ui, vi].astype(dtype)
+
+    return jax.lax.map(one_bin, jnp.arange(n_bins, dtype=jnp.int32))
+
+
+def raycast_lut(
+    lut: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    theta: jax.Array,
+    *,
+    max_dist: float = 500.0,
+):
+    """Query the table: one gather per ray. Returns (dist, hit) with the
+    march/march-sdf conventions (miss -> dist == max_dist, hit == False)."""
+    n_bins, h, w = lut.shape
+    x, y, theta = jnp.broadcast_arrays(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(theta, jnp.float32),
+    )
+    two_pi = 2.0 * jnp.pi
+    b = jnp.round(theta / (two_pi / n_bins)).astype(jnp.int32) % n_bins
+    i, j = gridlib.world_to_cell((h, w), x, y)
+    inb = gridlib.in_bounds((h, w), i, j)
+    ic, jc = gridlib.clamp_cell((h, w), i, j)
+    d = lut[b, ic, jc].astype(jnp.float32)
+    hit = (d < max_dist) & inb
+    dist = jnp.where(hit, d, max_dist)
+    return dist, hit

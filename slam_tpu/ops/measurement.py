@@ -20,9 +20,10 @@ import math
 import jax
 import jax.numpy as jnp
 
+from slam_tpu.core.config import RaycastConfig
 from slam_tpu.core.stats import log_pdf_normal_clamp_eps
 from slam_tpu.core.types import Pose, Scan
-from slam_tpu.ops.raycast import raycast_march
+from slam_tpu.ops.rayfield import as_ray_field, raycast_field
 
 
 def scanner_displacement(scanner_offset):
@@ -55,40 +56,49 @@ def beam_log_weights(pred_dist, hit, meas_dist, *, stddev, max_dist, eps=0.1):
 
 
 def particle_log_weights(
-    blocked: jax.Array,
+    field,
     poses: Pose,
     scan: Scan,
     *,
+    rc: RaycastConfig = RaycastConfig(),
     scanner_offset=(0.0, 0.0, 0.0),
     stddev: float = 5.0,
     eps: float = 0.1,
-    max_dist: float = 500.0,
-    step: float = 0.5,
-    chunk: int = 64,
+    ray_sharding=None,
 ):
     """Log measurement likelihood of every particle given one scan.
 
     Args:
-      blocked: bool[H, W] occupancy (True blocks rays).
+      field: a `RayField` (prebuilt backend structure) or a raw bool[H, W]
+        blocked mask (wrapped on the fly; see slam_tpu.ops.rayfield).
       poses: particle poses, batch shape [N].
       scan: B beams (angles relative to heading, measured ranges).
+      rc: raycast backend config.
+      ray_sharding: optional `jax.sharding.Sharding` for the [N, B] ray batch.
+        Under a 2D (particle, beam) device mesh this pins the hot raycast to
+        both axes; GSPMD then inserts the psum for the beam-axis reduction.
 
     Returns:
       f32[N] sum of per-beam log weights (the log of `slam/mcl.cpp:69-75`'s
       exp-sum weight).
     """
+    field = as_ray_field(field, rc)
     sp = sensor_pose(poses, scanner_offset)
     angles = sp.theta[:, None] + scan.angles[None, :]  # [N, B]
-    pred, hit = raycast_march(
-        blocked,
-        sp.x[:, None],
-        sp.y[:, None],
-        angles,
-        step=step,
-        max_dist=max_dist,
-        chunk=chunk,
-    )
+    px = jnp.broadcast_to(sp.x[:, None], angles.shape)
+    py = jnp.broadcast_to(sp.y[:, None], angles.shape)
+    if ray_sharding is not None:
+        px, py, angles = (
+            jax.lax.with_sharding_constraint(a, ray_sharding)
+            for a in (px, py, angles)
+        )
+    pred, hit = raycast_field(field, px, py, angles, rc)
     lw = beam_log_weights(
-        pred, hit, scan.dists[None, :], stddev=stddev, max_dist=max_dist, eps=eps
+        pred,
+        hit,
+        scan.dists[None, :],
+        stddev=stddev,
+        max_dist=rc.max_dist,
+        eps=eps,
     )
     return jnp.sum(lw, axis=-1)

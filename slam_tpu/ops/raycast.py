@@ -116,6 +116,90 @@ def raycast_march(
     return dist.reshape(batch_shape), hit.reshape(batch_shape)
 
 
+def raycast_sdf(
+    edt: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    theta: jax.Array,
+    *,
+    step: float = 0.5,
+    max_dist: float = 500.0,
+    margin: float = 1.0,
+    max_iters: int | None = None,
+):
+    """Sphere-trace rays over a Euclidean distance transform.
+
+    TPU-native replacement for the fixed-step DDA march: each iteration
+    gathers the EDT at the current position and advances by
+    ``max(step, edt - margin)`` — obstacle-free stretches are crossed in one
+    jump, so typical rays resolve in tens of iterations instead of
+    ``max_dist/step`` (1000). Near surfaces the advance collapses to the
+    reference's fixed `step`, preserving its hit quantization
+    (`slam/raycast.cpp:8-141` semantics: blocked cell -> HIT at the marched
+    distance; out-of-bounds or distance exhausted -> MISS at max_dist).
+
+    A cell is blocked iff ``edt == 0``, so one gather serves both the
+    occupancy test and the step size. `margin` guards against EDT
+    overestimation (use >= 1.5 with `edt_jfa`, 1.0 with `edt_exact`).
+    """
+    h, w = edt.shape
+    x, y, theta = jnp.broadcast_arrays(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(theta, jnp.float32),
+    )
+    batch_shape = x.shape
+    m = int(jnp.size(x)) if batch_shape else 1
+    x = x.reshape(m)
+    y = y.reshape(m)
+    theta = theta.reshape(m)
+
+    if max_iters is None:
+        max_iters = int(math.ceil(max_dist / step)) + 4
+
+    dx = jnp.cos(theta)
+    dy = jnp.sin(theta)
+    i0, j0 = gridlib.world_to_cell((h, w), x, y)
+    cell0 = i0 * w + j0
+
+    flat = edt.reshape(-1)
+
+    def body(carry):
+        k, t, resolved, hit, dist = carry
+        px = x + t * dx
+        py = y + t * dy
+        i, j = gridlib.world_to_cell((h, w), px, py)
+        inb = gridlib.in_bounds((h, w), i, j)
+        ic, jc = gridlib.clamp_cell((h, w), i, j)
+        d_cell = flat[ic * w + jc]
+        cell = i * w + j
+
+        miss = (t >= max_dist) | ~inb
+        hit_now = (d_cell <= 0.0) & (cell != cell0) & ~miss & ~resolved
+        newly = (hit_now | miss) & ~resolved
+        dist = jnp.where(hit_now, t, dist)
+        hit = hit | hit_now
+        resolved = resolved | newly
+
+        advance = jnp.maximum(step, d_cell - margin)
+        t = jnp.where(resolved, t, t + advance)
+        return k + 1, t, resolved, hit, dist
+
+    def cond(carry):
+        k, _, resolved, _, _ = carry
+        return (k < max_iters) & ~jnp.all(resolved)
+
+    init = (
+        jnp.int32(0),
+        jnp.full((m,), step, jnp.float32),
+        jnp.zeros((m,), bool),
+        jnp.zeros((m,), bool),
+        jnp.full((m,), max_dist, jnp.float32),
+    )
+    _, _, _, hit, dist = jax.lax.while_loop(cond, body, init)
+    return dist.reshape(batch_shape), hit.reshape(batch_shape)
+
+
 def raycast_hit_points(x, y, theta, dist, hit):
     """Continuous hit coordinates (origin + dist * dir) for hitting rays;
     the reference returns these directly (`slam/raycast.cpp:44`)."""

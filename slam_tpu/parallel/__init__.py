@@ -1,0 +1,15 @@
+from slam_tpu.parallel.mesh import make_mesh
+from slam_tpu.parallel.sharded import (
+    ShardedGridSLAM,
+    ShardedMCL,
+    shard_state,
+    state_shardings,
+)
+
+__all__ = [
+    "make_mesh",
+    "ShardedGridSLAM",
+    "ShardedMCL",
+    "shard_state",
+    "state_shardings",
+]

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from slam_tpu.core.config import RaycastConfig
 from slam_tpu.core.types import Odometry, Particles, Pose, Scan, Velocity
 from slam_tpu.ops import mapping, measurement, motion, raycast, resample
 
@@ -160,7 +161,7 @@ class TestMeasurement:
             jnp.array([0.7, 0.7, 0.7, 0.7]),
         )
         lw = measurement.particle_log_weights(
-            jb, poses, scan, stddev=5.0, max_dist=60.0, step=0.5
+            jb, poses, scan, rc=RaycastConfig(step=0.5, max_dist=60.0), stddev=5.0
         )
         assert int(jnp.argmax(lw)) == 0
 

@@ -1,0 +1,243 @@
+"""Planner acceptance tests.
+
+Parity with the reference is on path cost/feasibility, not node-for-node
+expansion order (the batched reformulations expand differently by design —
+SURVEY.md section 7). A* is checked against an exact numpy Dijkstra oracle;
+Hybrid A* and RRT* paths are checked for feasibility and sane cost on maps
+with known topology.
+"""
+
+import heapq
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.core.config import HybridAStarConfig, RRTStarConfig, RaycastConfig
+from slam_tpu.core.types import Pose
+from slam_tpu.models.simulate import synthetic_room
+from slam_tpu.ops import spatial
+from slam_tpu.planners import AStar, HybridAStar, RRTStar
+
+SQRT2 = math.sqrt(2.0)
+
+
+def dijkstra_oracle(free: np.ndarray, start):
+    """Exact 8-connected distance field (heapq)."""
+    h, w = free.shape
+    dist = np.full((h, w), np.inf)
+    if not free[start]:
+        return dist
+    dist[start] = 0.0
+    q = [(0.0, start)]
+    while q:
+        d, (i, j) = heapq.heappop(q)
+        if d > dist[i, j]:
+            continue
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                ni, nj = i + di, j + dj
+                if 0 <= ni < h and 0 <= nj < w and free[ni, nj]:
+                    nd = d + (SQRT2 if di and dj else 1.0)
+                    if nd < dist[ni, nj]:
+                        dist[ni, nj] = nd
+                        heapq.heappush(q, (nd, (ni, nj)))
+    return dist
+
+
+def wall_map(h=48, w=48, gap=(20, 26)):
+    """Free grid with a vertical wall at w//2, open between gap rows."""
+    free = np.ones((h, w), bool)
+    free[:, w // 2] = False
+    free[gap[0] : gap[1], w // 2] = True
+    return free
+
+
+class TestAStar:
+    def test_distance_field_matches_dijkstra(self, rng):
+        free = rng.random((40, 40)) > 0.25
+        free[5, 5] = True
+        planner = AStar(jnp.asarray(free), (5, 5), (34, 30))
+        planner.solve()
+        want = dijkstra_oracle(free, (5, 5))
+        got = np.asarray(planner.dist)
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(got[finite], want[finite], rtol=1e-5)
+        assert np.all(got[~finite] >= 1e29)
+
+    def test_path_routes_through_gap(self):
+        free = wall_map()
+        p = AStar(jnp.asarray(free), (10, 10), (10, 40))
+        assert p.solve()
+        path = p.recover_path()
+        assert path[0] == (10, 10) and path[-1] == (10, 40)
+        crossings = [ij for ij in path if ij[1] == 24]
+        assert all(20 <= i < 26 for i, _ in crossings)
+        # Every step is to an 8-neighbor through free space.
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            assert max(abs(i0 - i1), abs(j0 - j1)) == 1
+            assert free[i1, j1]
+
+    def test_unreachable(self):
+        free = np.ones((32, 32), bool)
+        free[:, 16] = False  # solid wall
+        p = AStar(jnp.asarray(free), (5, 5), (5, 25))
+        assert not p.solve()
+        assert p.recover_path() == []
+
+    def test_incremental_pathfind_api(self):
+        free = wall_map()
+        p = AStar(jnp.asarray(free), (10, 10), (10, 40))
+        n = 0
+        while not p.pathfind(rounds=8):
+            n += 1
+            assert n < 100
+        assert p.success
+
+
+class TestHybridAStar:
+    CFG = HybridAStarConfig(
+        velocity=4.0,
+        length=4.0 / math.tan(40 * math.pi / 180) * 2,
+        theta_res=8,
+        branching_factor=3,
+        tol=4.0,
+        batch=64,
+    )
+
+    def test_open_map_reaches_goal(self):
+        free = np.ones((64, 64), bool)
+        a = Pose.create(10.0, 10.0, 0.0)
+        b = Pose.create(50.0, 50.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert p.solve(max_rounds=200)
+        # Goal pop is within tolerance of B.
+        gi = int(p.state.goal_idx)
+        gx, gy = float(p.state.px[gi]), float(p.state.py[gi])
+        assert math.hypot(gx - 50.0, gy - 50.0) <= self.CFG.tol
+        # Cost at least the straight-line lower bound (v per ~v of arc).
+        assert p.path_cost() >= math.hypot(40, 40) - self.CFG.tol * 2
+        path = p.recover_path()
+        assert len(path) >= 5
+
+    def test_wall_gap(self):
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert p.solve(max_rounds=400)
+        path = p.recover_path()
+        # Crossing column 32 must happen inside the gap rows.
+        for i, j in path:
+            if j == 32:
+                assert 28 <= i < 38
+
+    def test_unreachable(self):
+        free = np.ones((48, 48), bool)
+        free[:, 24] = False
+        a = Pose.create(8.0, 24.0, 0.0)
+        b = Pose.create(40.0, 24.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert not p.solve(max_rounds=300)
+
+
+class TestRRTStar:
+    CFG = RRTStarConfig(reach=6.0, radius=12.0, max_nodes=2048, batch=64)
+
+    def test_open_map_connects_and_path_is_feasible(self):
+        free = np.ones((64, 64), bool)
+        p = RRTStar(jnp.asarray(free), (10.0, 10.0), (52.0, 50.0), self.CFG, seed=7)
+        assert p.solve(max_rounds=60)
+        path = p.recover_path()
+        assert path[0] == (52.0, 50.0)
+        ax, ay = path[-1]
+        assert math.hypot(ax - 10.0, ay - 10.0) < 1e-3
+        # Segments bounded by the rewire radius (choose-parent may connect
+        # any in-radius neighbor), cost near-optimal-ish.
+        for (x0, y0), (x1, y1) in zip(path, path[1:]):
+            assert math.hypot(x1 - x0, y1 - y0) <= self.CFG.radius + 1e-3
+        opt = math.hypot(42, 40)
+        assert opt <= p.path_cost() <= 2.2 * opt
+
+    def test_wall_gap_feasible(self):
+        free = wall_map(64, 64, gap=(26, 40))
+        p = RRTStar(jnp.asarray(free), (12.0, 32.0), (52.0, 32.0), self.CFG, seed=3)
+        assert p.solve(max_rounds=120)
+        path = p.recover_path()
+        # No segment crosses the wall outside the gap (wall at col 32 ->
+        # world x in [32, 33); gap rows 26..39 -> world y in (24, 38]).
+        for (x0, y0), (x1, y1) in zip(path, path[1:]):
+            if (x0 - 32.5) * (x1 - 32.5) < 0:  # crosses the wall column
+                t = (32.5 - x0) / (x1 - x0)
+                ycross = y0 + t * (y1 - y0)
+                assert 24.0 < ycross < 39.0
+
+    def test_node_budget_latch(self):
+        free = np.zeros((32, 32), bool)  # fully blocked: no node ever lands
+        free[10:13, 10:13] = True
+        cfg = RRTStarConfig(reach=4.0, radius=8.0, max_nodes=128, batch=32)
+        p = RRTStar(jnp.asarray(free), (11.0, 20.0), (30.0, 30.0), cfg, seed=0)
+        assert not p.solve(max_rounds=30)
+
+
+class TestSpatialOracles:
+    def test_nn_matches_brute_force(self, rng):
+        n, q = 512, 64
+        px, py = rng.random(n) * 100, rng.random(n) * 100
+        valid = rng.random(n) > 0.3
+        qx, qy = rng.random(q) * 100, rng.random(q) * 100
+        idx, dist = spatial.nearest_neighbor(
+            jnp.asarray(px, jnp.float32),
+            jnp.asarray(py, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(qx, jnp.float32),
+            jnp.asarray(qy, jnp.float32),
+        )
+        d2 = (px[None] - qx[:, None]) ** 2 + (py[None] - qy[:, None]) ** 2
+        d2[:, ~valid] = np.inf
+        want = np.argmin(d2, 1)
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_allclose(
+            np.asarray(dist), np.sqrt(d2[np.arange(q), want]), rtol=1e-4
+        )
+
+    def test_nn_blocked_matches_plain(self, rng):
+        n, q = 1000, 32
+        px, py = rng.random(n) * 50, rng.random(n) * 50
+        valid = rng.random(n) > 0.5
+        qx, qy = rng.random(q) * 50, rng.random(q) * 50
+        args = [
+            jnp.asarray(px, jnp.float32),
+            jnp.asarray(py, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(qx, jnp.float32),
+            jnp.asarray(qy, jnp.float32),
+        ]
+        i0, d0 = spatial.nearest_neighbor(*args)
+        i1, d1 = spatial.nearest_neighbor_blocked(*args, block=128)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5)
+
+    def test_range_query_matches_brute_force(self, rng):
+        n, q = 256, 16
+        px, py = rng.random(n) * 100, rng.random(n) * 100
+        valid = rng.random(n) > 0.2
+        boxes = np.sort(rng.random((q, 2, 2)) * 100, axis=1)  # x0<x1, y0<y1
+        boxes = np.stack(
+            [boxes[:, 0, 0], boxes[:, 0, 1], boxes[:, 1, 0], boxes[:, 1, 1]], 1
+        )
+        got = np.asarray(
+            spatial.range_query_boxes(
+                jnp.asarray(px, jnp.float32),
+                jnp.asarray(py, jnp.float32),
+                jnp.asarray(valid),
+                jnp.asarray(boxes, jnp.float32),
+            )
+        )
+        for k in range(q):
+            x0, y0, x1, y1 = boxes[k]
+            want = valid & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            np.testing.assert_array_equal(got[k], want)

@@ -1,0 +1,107 @@
+"""Backend-equivalence tests: sdf sphere tracing and lut queries vs the exact
+march oracle, plus end-to-end localization quality with the fast backends."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.core.config import (
+    LidarConfig,
+    MCLConfig,
+    MotionConfig,
+    RaycastConfig,
+    SLAMConfig,
+)
+from slam_tpu.core.types import Pose
+from slam_tpu.models.simulate import (
+    forward_arc_commands,
+    run_localization,
+    synthetic_room,
+)
+from slam_tpu.ops import edt as edtlib
+from slam_tpu.ops import lut as lutlib
+from slam_tpu.ops.raycast import raycast_march, raycast_sdf
+from slam_tpu.utils.metrics import ate_rmse
+
+
+def _ray_batch(rng, n, h, w):
+    xs = jnp.asarray(rng.uniform(5, w - 5, n), jnp.float32)
+    ys = jnp.asarray(rng.uniform(5, h - 5, n), jnp.float32)
+    ths = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    return xs, ys, ths
+
+
+class TestSdf:
+    @pytest.mark.parametrize("edt_fn", [edtlib.edt_exact, edtlib.edt_jfa])
+    def test_matches_march(self, rng, edt_fn):
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        xs, ys, ths = _ray_batch(rng, 256, h, w)
+        d0, h0 = raycast_march(blocked, xs, ys, ths, step=0.5, max_dist=120.0)
+        edt = edt_fn(blocked)
+        d1, h1 = raycast_sdf(
+            edt, xs, ys, ths, step=0.5, max_dist=120.0, margin=1.5
+        )
+        # Hit/miss must agree except within a step of the max-dist boundary.
+        boundary = np.abs(np.asarray(d0) - 120.0) < 2.0
+        agree = np.asarray(h0 == h1) | boundary
+        assert agree.mean() > 0.99
+        both = np.asarray(h0 & h1)
+        err = np.abs(np.asarray(d0) - np.asarray(d1))[both]
+        assert err.max() < 1.5
+        assert np.median(err) < 0.6
+
+    def test_inside_obstacle_hits_neighbor(self):
+        blocked = jnp.zeros((32, 32), bool).at[10:20, 10:20].set(True)
+        edt = edtlib.edt_exact(blocked)
+        # Origin inside the obstacle block: first differing cell is blocked.
+        d, h = raycast_sdf(edt, 15.0, 15.0, 0.0, step=0.5, max_dist=30.0)
+        assert bool(h) and float(d) <= 1.5
+
+
+class TestLut:
+    def test_matches_march_within_binning_error(self, rng):
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        lut = lutlib.build_beam_lut(blocked, n_bins=256, max_dist=120.0)
+        xs, ys, ths = _ray_batch(rng, 512, h, w)
+        # Snap angles exactly to bins to isolate translation error.
+        ths = jnp.round(ths / (2 * np.pi / 256)) * (2 * np.pi / 256)
+        d0, h0 = raycast_march(blocked, xs, ys, ths, step=0.5, max_dist=120.0)
+        d1, h1 = lutlib.raycast_lut(lut, xs, ys, ths, max_dist=120.0)
+        both = np.asarray(h0 & h1)
+        assert both.mean() > 0.8  # most rays hit in a closed room
+        err = np.abs(np.asarray(d0) - np.asarray(d1))[both]
+        # Conservative resampling + center snap: small biased error only.
+        assert np.median(err) < 1.5
+        assert np.quantile(err, 0.95) < 4.0
+
+    def test_blocked_origin_and_miss(self):
+        blocked = jnp.zeros((64, 64), bool).at[:, 40].set(True)
+        lut = lutlib.build_beam_lut(blocked, n_bins=8, max_dist=30.0)
+        # Pointing away from the wall from the far side: miss at max_dist.
+        d, h = lutlib.raycast_lut(lut, 10.0, 32.0, np.pi, max_dist=30.0)
+        assert not bool(h) and float(d) == 30.0
+        # Pointing at the wall: hit near 29... wait, x=10 -> wall at 40: 30
+        d, h = lutlib.raycast_lut(lut, 12.0, 32.0, 0.0, max_dist=30.0)
+        assert bool(h) and abs(float(d) - 28.0) < 2.0
+
+
+@pytest.mark.parametrize("backend", ["sdf", "lut"])
+def test_localization_ate_with_fast_backends(backend):
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    cfg = SLAMConfig(
+        mcl=MCLConfig(n_particles=256, meas_stddev=3.0),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
+        motion=MotionConfig(alphas=(0.002, 0.002, 0.002, 0.002)),
+        raycast=RaycastConfig(
+            step=1.0, max_dist=60.0, chunk=16, backend=backend, lut_bins=256
+        ),
+    )
+    commands = forward_arc_commands(30, trans=1.5, rot=0.12)
+    res = run_localization(
+        blocked, cfg, commands, Pose.create(40.0, 40.0, 0.3), seed=3
+    )
+    ate = ate_rmse(res.est_xy, res.gt_xy)
+    assert ate < 6.0, f"{backend} ATE {ate}"
