@@ -1,0 +1,43 @@
+"""Shared app plumbing: map loading with synthetic fallback, timing.
+
+The reference apps all start from `cv::imread` + threshold/erode preambles
+(`apps/grid_slam.cpp:79-86`, `apps/hastar_planner.cpp:130-134`); these
+helpers do the same from PNG paths and provide procedurally generated maps
+for asset-free runs.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import numpy as np
+
+from slam_tpu.utils import maps as maplib
+
+
+def load_blocked(path: str | None, h: int = 256, w: int = 256) -> np.ndarray:
+    """bool[H, W] blocked mask from a PNG (threshold 128, obstacle = dark,
+    `apps/grid_slam.cpp:84-86`) or a synthetic room when path is None."""
+    if path:
+        return maplib.load_binary_map(path) == 0
+    from slam_tpu.models.simulate import synthetic_room
+
+    return synthetic_room(h, w)
+
+
+def inflate(blocked: np.ndarray, radius: int) -> np.ndarray:
+    """Vehicle inflation: erode free space by a disc — the planners' erode
+    preamble (`apps/hastar_planner.cpp:130-134`)."""
+    if radius <= 0:
+        return blocked
+    free = ~blocked
+    return ~maplib.erode(free.astype(np.uint8), radius).astype(bool)
+
+
+@contextmanager
+def measure_time(label: str):
+    """`apps/hastar_planner.cpp:29-48` equivalent."""
+    t0 = time.perf_counter()
+    yield
+    print(f"{label}: {(time.perf_counter() - t0) * 1e3:.1f} ms")

@@ -19,7 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(1e30)
+# Host scalar: a module-level jnp array would initialize the device backend
+# (and on tunneled TPU environments, open the tunnel) at import time.
+INF = 1e30
 
 
 def sq_dist_tile(px, py, qx, qy):

@@ -40,7 +40,9 @@ from slam_tpu.core.config import HybridAStarConfig, RaycastConfig
 from slam_tpu.core.types import Pose
 from slam_tpu.ops.rayfield import RayField, make_ray_field, raycast_field
 
-INF = jnp.float32(1e30)
+# Host scalar: a module-level jnp array would initialize the device backend
+# (and on tunneled TPU environments, open the tunnel) at import time.
+INF = 1e30
 
 
 @struct.dataclass

@@ -44,7 +44,9 @@ from slam_tpu.core.config import RRTStarConfig, RaycastConfig
 from slam_tpu.ops import spatial
 from slam_tpu.ops.rayfield import RayField, make_ray_field, raycast_field
 
-INF = jnp.float32(1e30)
+# Host scalar: a module-level jnp array would initialize the device backend
+# (and on tunneled TPU environments, open the tunnel) at import time.
+INF = 1e30
 
 
 @struct.dataclass

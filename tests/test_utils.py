@@ -1,0 +1,70 @@
+"""Checkpoint round-trip, logging, rendering, and profiling utils tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.core.config import MapConfig, MCLConfig, SLAMConfig
+from slam_tpu.core.types import Pose
+from slam_tpu.models import slam as slam_mod
+from slam_tpu.utils import checkpoint, render
+from slam_tpu.utils.logging import add_file_sink, get_logger, set_level
+
+
+def test_checkpoint_roundtrip_slam_state(tmp_path):
+    cfg = SLAMConfig(mcl=MCLConfig(n_particles=32), map=MapConfig(height=32, width=32))
+    state = slam_mod.init(jax.random.key(7), cfg, Pose.create(16.0, 16.0, 0.5))
+    state = state.replace(grid=state.grid.at[3, 4].set(1.5))
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state)
+    template = slam_mod.init(jax.random.key(0), cfg, Pose.create(0.0, 0.0, 0.0))
+    restored = checkpoint.restore(path, template)
+
+    np.testing.assert_array_equal(np.asarray(restored.grid), np.asarray(state.grid))
+    np.testing.assert_array_equal(
+        np.asarray(restored.mcl.particles.pose.x),
+        np.asarray(state.mcl.particles.pose.x),
+    )
+    # The PRNG key round-trips usably.
+    k1 = jax.random.uniform(restored.mcl.key)
+    k2 = jax.random.uniform(state.mcl.key)
+    assert float(k1) == float(k2)
+
+
+def test_checkpoint_manager_rolls(tmp_path):
+    cfg = SLAMConfig(mcl=MCLConfig(n_particles=8), map=MapConfig(height=16, width=16))
+    state = slam_mod.init(jax.random.key(0), cfg, Pose.create(8.0, 8.0, 0.0))
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "run"), max_to_keep=2)
+    for step in range(3):
+        mgr.save(step, state.replace(grid=state.grid + step))
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(state)
+    assert float(restored.grid[0, 0]) == 2.0
+    mgr.close()
+
+
+def test_logger_file_sink(tmp_path):
+    log = get_logger("slam_tpu.test")
+    set_level(10, "slam_tpu.test")
+    sink = str(tmp_path / "log.txt")
+    add_file_sink(sink, name="slam_tpu.test")
+    log.info("hello %d", 42)
+    for h in log.handlers:
+        h.flush()
+    assert "hello 42" in open(sink).read()
+
+
+def test_render_primitives(tmp_path):
+    img = render.blocked_to_rgb(np.zeros((32, 32), bool))
+    render.draw_disc(img, 5, 5, 2, render.RED)
+    render.draw_line(img, 0, 0, 31, 31, render.BLUE)
+    render.draw_pose(img, 16.0, 16.0, 0.5, render.GREEN)
+    render.draw_particles(img, np.array([3.0, 4.0]), np.array([3.0, 4.0]))
+    assert (img != 255).any()
+    p = str(tmp_path / "x.png")
+    render.save_png(img, p)
+    render.save_gif([img, img], str(tmp_path / "x.gif"))
+    assert os.path.getsize(p) > 0
