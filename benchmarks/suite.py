@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark suite reproducing the reference's four Google-Benchmark configs
+(`/root/reference/benchmark/{mcl,hastar,rrtstar,quadtree}.cpp`) on the
+TPU-native framework. Prints one JSON line per benchmark with vs_baseline
+against the measured C++ numbers (BASELINE_MEASURED.json, same machine).
+
+    python benchmarks/suite.py all
+    python benchmarks/suite.py mcl --particles 100000
+    python benchmarks/suite.py hastar rrtstar spatial --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_BASELINES = {}
+try:
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BASELINE_MEASURED.json")
+    ) as f:
+        _BASELINES = json.load(f)
+except Exception:
+    pass
+
+
+def emit(metric, value, unit, baseline=None, extra=""):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 2)
+    print(json.dumps(rec))
+    if extra:
+        print(f"# {extra}", file=sys.stderr)
+
+
+def floor_plan():
+    import bench as B
+
+    return B.floor_plan_blocked()
+
+
+def bench_mcl(args):
+    """`benchmark/mcl.cpp` config at the north-star particle count."""
+    import bench as B
+
+    sys.argv = ["bench.py", "--particles", str(args.particles), "--iters", str(args.iters)]
+    B.main()
+
+
+def _ij_to_world(h, i, j):
+    return float(j), float(h - i)
+
+
+def bench_hastar(args):
+    import jax.numpy as jnp
+
+    from slam_tpu.apps.common import inflate
+    from slam_tpu.core.config import HybridAStarConfig, RaycastConfig
+    from slam_tpu.core.types import Pose
+    from slam_tpu.planners import HybridAStar
+
+    blocked = floor_plan()
+    h, w = blocked.shape
+    free = jnp.asarray(~inflate(blocked, 7))  # 15px ellipse kernel ~ r=7
+    ax, ay = _ij_to_world(h, 150, 450)
+    bx, by = _ij_to_world(h, 450, 750)
+    vel, steer = 10.0, 40 * math.pi / 180
+    cfg = HybridAStarConfig(
+        velocity=vel,
+        max_steering=steer,
+        length=vel * math.tan(steer) / (10 * math.pi / 180),
+        theta_res=5,
+        branching_factor=3,
+        tol=5.0,
+        batch=args.batch,
+    )
+    rc = RaycastConfig(backend="sdf", step=1.0)
+
+    def run():
+        p = HybridAStar(free, Pose.create(ax, ay, 0.0), Pose.create(bx, by, 0.0), cfg, rc)
+        ok = p.solve()
+        return ok, p
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    oks = [run()[0] for _ in range(args.iters)]
+    dt = (time.perf_counter() - t0) / args.iters
+    base = _BASELINES.get("ref_hastar", {}).get("pathfind_ms")
+    emit(
+        "hastar_pathfind_ms",
+        dt * 1e3,
+        "ms",
+        None,
+        f"success={all(oks)}; C++ ref {base} ms -> speedup {base / (dt * 1e3):.2f}x"
+        if base
+        else f"success={all(oks)}",
+    )
+
+
+def bench_rrtstar(args):
+    import jax.numpy as jnp
+
+    from slam_tpu.apps.common import inflate
+    from slam_tpu.core.config import RRTStarConfig
+    from slam_tpu.core.types import Pose
+    from slam_tpu.planners import RRTStar
+
+    blocked = floor_plan()
+    h, w = blocked.shape
+    free = jnp.asarray(~inflate(blocked, 7))
+    a = _ij_to_world(h, 150, 450)
+    b = _ij_to_world(h, 450, 750)
+    cfg = RRTStarConfig(reach=20.0, radius=50.0, max_nodes=8192, batch=args.batch)
+
+    def run(seed):
+        p = RRTStar(free, a, b, cfg, seed=seed)
+        return p.solve(max_rounds=400), p
+
+    run(999)
+    t0 = time.perf_counter()
+    oks = [run(1234 + k)[0] for k in range(args.iters)]
+    dt = (time.perf_counter() - t0) / args.iters
+    base = _BASELINES.get("ref_rrtstar", {}).get("pathfind_ms")
+    emit(
+        "rrtstar_pathfind_ms",
+        dt * 1e3,
+        "ms",
+        None,
+        f"success={all(oks)}; C++ ref {base} ms -> speedup {base / (dt * 1e3):.2f}x"
+        if base
+        else f"success={all(oks)}",
+    )
+
+
+def bench_spatial(args):
+    """`benchmark/quadtree.cpp` equivalents on the dense SoA buffer."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import spatial
+
+    n, max_val, n_boxes = 1_000_000, 10_000, 1000
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, max_val, n).astype(np.float32)
+    py = rng.integers(0, max_val, n).astype(np.float32)
+    lo = rng.integers(0, max_val, (n_boxes, 2)).astype(np.float32)
+    ext = rng.integers(1, max_val // 10, (n_boxes, 2)).astype(np.float32)
+    boxes = np.concatenate([lo, lo + ext], axis=1)
+
+    # "Insert": building the device-resident SoA buffer.
+    t0 = time.perf_counter()
+    dpx = jnp.asarray(px)
+    dpy = jnp.asarray(py)
+    valid = jnp.ones((n,), bool)
+    np.asarray(jax.device_get(dpx[:1]))
+    insert_s = time.perf_counter() - t0
+    base_ins = _BASELINES.get("ref_quadtree", {}).get("insert_pts_per_s")
+    emit("spatial_insert_pts_per_s", n / insert_s, "points/s", base_ins)
+
+    dboxes = jnp.asarray(boxes)
+
+    @jax.jit
+    def count_all(px_, py_, valid_, boxes_):
+        def body(carry, box):
+            m = spatial.in_box(px_, py_, valid_, (box[0], box[1], box[2], box[3]))
+            return carry + jnp.sum(m), jnp.sum(m)
+
+        total, _ = jax.lax.scan(body, jnp.int32(0), boxes_)
+        return total
+
+    total = int(count_all(dpx, dpy, valid, dboxes))  # compile+check
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        total = int(count_all(dpx, dpy, valid, dboxes))
+    q_s = (time.perf_counter() - t0) / args.iters
+    base_q = _BASELINES.get("ref_quadtree", {}).get("range_queries_per_s")
+    emit(
+        "spatial_range_queries_per_s",
+        n_boxes / q_s,
+        "queries/s",
+        base_q,
+        f"{total} total hits over 1M points x 1000 boxes",
+    )
+
+    # NN throughput (kd-tree equivalent; `apps/nearest_neighbor` workload).
+    qx = jnp.asarray(rng.integers(0, max_val, 1024).astype(np.float32))
+    qy = jnp.asarray(rng.integers(0, max_val, 1024).astype(np.float32))
+    nn = jax.jit(spatial.nearest_neighbor_blocked)
+    idx, _ = nn(dpx, dpy, valid, qx, qy)
+    np.asarray(idx[:1])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        idx, _ = nn(dpx, dpy, valid, qx, qy)
+    np.asarray(idx[:1])
+    nn_s = (time.perf_counter() - t0) / args.iters
+    emit("spatial_nn_queries_per_s", 1024 / nn_s, "queries/s")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("which", nargs="+", choices=["mcl", "hastar", "rrtstar", "spatial", "all"])
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    which = set(args.which)
+    if "all" in which:
+        which = {"mcl", "hastar", "rrtstar", "spatial"}
+    if "mcl" in which:
+        bench_mcl(args)
+    if "hastar" in which:
+        bench_hastar(args)
+    if "rrtstar" in which:
+        bench_rrtstar(args)
+    if "spatial" in which:
+        bench_spatial(args)
+
+
+if __name__ == "__main__":
+    main()

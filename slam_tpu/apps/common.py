@@ -28,10 +28,15 @@ def load_blocked(path: str | None, h: int = 256, w: int = 256) -> np.ndarray:
 
 def inflate(blocked: np.ndarray, radius: int) -> np.ndarray:
     """Vehicle inflation: erode free space by a disc — the planners' erode
-    preamble (`apps/hastar_planner.cpp:130-134`)."""
+    preamble (`apps/hastar_planner.cpp:130-134`). Uses the native runtime
+    when built (multithreaded C++), else the numpy fallback."""
     if radius <= 0:
         return blocked
+    from slam_tpu import native
+
     free = ~blocked
+    if native.available():
+        return ~native.erode_disc(free.astype(np.uint8), radius).astype(bool)
     return ~maplib.erode(free.astype(np.uint8), radius).astype(bool)
 
 

@@ -85,6 +85,7 @@ class HybridAStar:
         self.cfg = cfg
         self.rc = rc
         self._round = jax.jit(self._round_impl)
+        self._solve = jax.jit(self._solve_impl)
         self.reset(free, a, b)
 
     # -- cuboid indexing (`slam/hastar.cpp:234-241`) ----------------------
@@ -257,11 +258,39 @@ class HybridAStar:
             return True
         return False
 
+    def _solve_impl(self, st, field, goal, target_bin, max_rounds):
+        """Whole search as ONE device program: a while_loop over rounds, so a
+        full pathfind costs a single host<->device round trip (the per-round
+        incremental API stays for animation parity)."""
+
+        def cond(carry):
+            st, rounds = carry
+            return (
+                (st.goal_idx < 0)
+                & jnp.any(st.open_mask)
+                & (rounds < max_rounds)
+            )
+
+        def body(carry):
+            st, rounds = carry
+            return self._round_impl(st, field, goal, target_bin), rounds + 1
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+        return st
+
     def solve(self, max_rounds: Optional[int] = None) -> bool:
         max_rounds = max_rounds or self.cfg.max_rounds
-        for _ in range(max_rounds):
-            if self.pathfind():
-                break
+        self.state = self._solve(
+            self.state,
+            self.field,
+            self._goal,
+            self._target_bin,
+            jnp.int32(max_rounds),
+        )
+        if int(self.state.goal_idx) >= 0:
+            self.success = True
+        else:
+            self.used_up = True
         return self.success
 
     def recover_path(self) -> List[Tuple[int, int]]:

@@ -248,11 +248,34 @@ class RRTStar:
             self.used_up = True
         return self.success or self.used_up
 
+    def _solve_impl(self, st, max_rounds, min_nodes):
+        """Whole search as ONE device program (see HybridAStar._solve_impl):
+        loop until a goal connection exists AND the tree has min_nodes (the
+        `apps/rrt_planner.cpp:50` densify condition), the node budget is
+        exhausted, or max_rounds pass."""
+
+        def cond(carry):
+            st, rounds = carry
+            want_more = (st.best_goal_node < 0) | (st.size < min_nodes)
+            return want_more & (st.size < self.cfg.max_nodes) & (rounds < max_rounds)
+
+        def body(carry):
+            st, rounds = carry
+            return self._round_impl(st), rounds + 1
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+        return st
+
     def solve(self, max_rounds: int = 256, min_nodes: int = 0) -> bool:
-        for _ in range(max_rounds):
-            done = self.pathfind()
-            if done and self.size >= min_nodes:
-                break
+        if not hasattr(self, "_solve"):
+            self._solve = jax.jit(self._solve_impl)
+        self.state = self._solve(
+            self.state, jnp.int32(max_rounds), jnp.int32(min_nodes)
+        )
+        if int(self.state.best_goal_node) >= 0:
+            self.success = True
+        if int(self.state.size) >= self.cfg.max_nodes:
+            self.used_up = True
         return self.success
 
     def recover_path(self) -> List[Tuple[float, float]]:

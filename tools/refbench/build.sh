@@ -15,3 +15,10 @@ SRCS="$REF/slam/mcl.cpp $REF/slam/motion.cpp $REF/slam/raycast.cpp \
 g++ $CXXFLAGS $INC /root/repo/tools/refbench/ref_mcl_bench.cpp $SRCS $LIBS \
     -o "$OUT/ref_mcl_bench"
 echo "built $OUT/ref_mcl_bench"
+
+PSRCS="$REF/slam/hastar.cpp $REF/slam/rrtstar.cpp $REF/slam/kdtree.cpp \
+       $REF/slam/quadtree.cpp $REF/slam/raycast.cpp $REF/slam/util.cpp \
+       $REF/slam/thirdparty/log.cpp"
+g++ $CXXFLAGS $INC /root/repo/tools/refbench/ref_planners_bench.cpp $PSRCS $LIBS \
+    -o "$OUT/ref_planners_bench"
+echo "built $OUT/ref_planners_bench"
