@@ -81,7 +81,7 @@ def bench_hastar(args):
         theta_res=5,
         branching_factor=3,
         tol=5.0,
-        batch=args.batch,
+        batch=args.hastar_batch,
     )
     rc = RaycastConfig(backend="sdf", step=1.0)
 
@@ -119,7 +119,7 @@ def bench_rrtstar(args):
     free = jnp.asarray(~inflate(blocked, 7))
     a = _ij_to_world(h, 150, 450)
     b = _ij_to_world(h, 450, 750)
-    cfg = RRTStarConfig(reach=20.0, radius=50.0, max_nodes=8192, batch=args.batch)
+    cfg = RRTStarConfig(reach=20.0, radius=50.0, max_nodes=8192, batch=args.rrt_batch)
 
     def run(seed):
         p = RRTStar(free, a, b, cfg, seed=seed)
@@ -210,7 +210,8 @@ def main():
     ap.add_argument("which", nargs="+", choices=["mcl", "hastar", "rrtstar", "spatial", "all"])
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--hastar-batch", type=int, default=2048)
+    ap.add_argument("--rrt-batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

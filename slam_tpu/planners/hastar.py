@@ -83,7 +83,14 @@ class HybridAStar:
         rc: RaycastConfig = RaycastConfig(backend="sdf", step=1.0),
     ):
         self.cfg = cfg
-        self.rc = rc
+        # Collision rays only need to cover one steering arc (length = v);
+        # clamping max_dist makes every ray resolve in a handful of
+        # sphere-trace iterations instead of marching the lidar range.
+        import dataclasses
+
+        self.rc = dataclasses.replace(
+            rc, max_dist=min(rc.max_dist, cfg.velocity + 2.0)
+        )
         self._round = jax.jit(self._round_impl)
         self._solve = jax.jit(self._solve_impl)
         self.reset(free, a, b)

@@ -78,6 +78,11 @@ class RRTStar:
     ):
         assert cfg.radius >= cfg.reach, "radius must cover reach"
         self.cfg = cfg
+        # Edges are bounded by the rewire radius; clamp collision rays so
+        # they resolve in few sphere-trace iterations (see HybridAStar).
+        import dataclasses
+
+        rc = dataclasses.replace(rc, max_dist=min(rc.max_dist, cfg.radius + 2.0))
         self.rc = rc
         self.neighbor_cap = neighbor_cap
         free = jnp.asarray(free, bool)

@@ -88,3 +88,14 @@ def test_sharded_slam_step_runs_and_stays_sharded():
     assert float(jnp.abs(state.grid).sum()) > 0.0
     shard_shape = state.mcl.particles.pose.x.sharding.shard_shape((N,))
     assert shard_shape[0] == N // 4  # 4-way 'p' axis
+
+
+def test_distributed_helpers_single_process():
+    from slam_tpu.parallel import distributed
+
+    assert not distributed.is_multihost()
+    sl = distributed.host_local_slice(64)
+    assert sl == slice(0, 64)
+    tree = {"a": jnp.arange(3), "b": 1.5}
+    out = distributed.replicate_to_all_hosts(tree)
+    np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
