@@ -5,7 +5,11 @@ rays against the SAME static map every step (`slam/mcl.cpp:49-77`). On TPU
 the per-ray march is gather-latency-bound, so for static maps we precompute
 the answer: ``lut[b, i, j]`` = distance from the center of cell (i, j) to the
 first blocked cell along angular bin b. A ray query is then ONE gather
-(+ elementwise angle binning) instead of a ~1000-probe march.
+(+ elementwise angle binning) instead of a ~1000-probe march. This is the
+(uncompressed) directional distance transform of the CDDT family (Walsh &
+Karaman, "CDDT: Fast Approximate 2D Ray Casting for Accelerated
+Localization", arXiv:1705.01167) — the dense form trades HBM for O(1)
+queries, the right trade on TPU.
 
 Build: for each bin, the map is resampled into a rotated canvas where the bin
 direction becomes "+column"; the run length to the next blocked cell along a

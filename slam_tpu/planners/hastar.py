@@ -58,6 +58,16 @@ class HAState:
     n_expanded: jax.Array  # i32
 
 
+def _pose_to_cuboid(shape, k, x, y, theta):
+    """Cuboid flat index for pose(s) (`slam/hastar.cpp:234-241`)."""
+    h, w = shape
+    i = jnp.clip(jnp.floor(h - y - 1.0).astype(jnp.int32), 0, h - 1)
+    j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    ang = jnp.mod(theta + 2 * jnp.pi, 2 * jnp.pi)
+    kk = jnp.clip((ang / (2 * jnp.pi / k)).astype(jnp.int32), 0, k - 1)
+    return (i * w + j) * k + kk
+
+
 def _steering_tables(cfg: HybridAStarConfig):
     """Steer angles and their costs (`slam/hastar.cpp:68-80`)."""
     b = cfg.branching_factor
@@ -68,6 +78,142 @@ def _steering_tables(cfg: HybridAStarConfig):
     thetas = [-cfg.max_steering + i * dtheta for i in range(b)]
     costs = [abs(i - mid) * cost_slope for i in range(b)]
     return np.asarray(thetas, np.float32), np.asarray(costs, np.float32)
+
+
+def _ha_round(
+    st: HAState,
+    field: RayField,
+    goal: jax.Array,
+    target_bin: jax.Array,
+    cfg: HybridAStarConfig,
+    rc: RaycastConfig,
+) -> HAState:
+    """One batched expansion round (pure; cfg/rc static for jit caching
+    across planner instances — per-instance jits would recompile the whole
+    search for every query)."""
+    h, w = field.blocked.shape
+    shape = (h, w)
+    kbins = cfg.theta_res
+    kpop = cfg.batch
+    bx, by = goal[0], goal[1]
+    thetas, steer_costs = _steering_tables(cfg)
+
+    heur = jnp.sqrt((st.px - bx) ** 2 + (st.py - by) ** 2)
+    f = jnp.where(st.open_mask, st.g + heur, INF)
+    neg_f, pop = jax.lax.top_k(-f, kpop)
+    pop_valid = -neg_f < INF
+
+    open_mask = st.open_mask.at[pop].set(False)
+
+    gx = st.px[pop]
+    gy = st.py[pop]
+    gth = st.pth[pop]
+    gg = st.g[pop]
+
+    # Goal test on popped nodes (`slam/hastar.cpp:178-184`).
+    tol2 = cfg.tol * cfg.tol
+    d2goal = (gx - bx) ** 2 + (gy - by) ** 2
+    bin_of = _pose_to_cuboid(shape, kbins, gx, gy, gth) % kbins
+    bin_ok = cfg.diff_drive | (bin_of == target_bin)
+    at_goal = (d2goal <= tol2) & bin_ok & pop_valid
+    # First (lowest-f) in-tolerance pop wins.
+    any_goal = jnp.any(at_goal)
+    first = jnp.argmax(at_goal)
+    goal_better = any_goal & (st.goal_idx < 0)
+    goal_idx = jnp.where(goal_better, pop[first], st.goal_idx)
+    goal_cost = jnp.where(goal_better, gg[first], st.goal_cost)
+
+    # Successor fan: [K, 2B] (`slam/hastar.cpp:88-112`).
+    vels = jnp.asarray([cfg.velocity, -cfg.velocity], jnp.float32)
+    cost_factor = jnp.asarray([1.0, cfg.reverse_factor], jnp.float32)
+    nth = gth[:, None, None] + (
+        vels[None, :, None] / cfg.length
+    ) * jnp.tan(jnp.asarray(thetas))[None, None, :]
+    nx = gx[:, None, None] + vels[None, :, None] * jnp.cos(nth)
+    ny = gy[:, None, None] + vels[None, :, None] * jnp.sin(nth)
+    ecost = (
+        cfg.velocity
+        + jnp.asarray(steer_costs)[None, None, :] * cost_factor[None, :, None]
+    )
+    shape2 = nx.shape
+
+    # Feasibility: free in-bounds destination + clear straight line.
+    dx = nx - gx[:, None, None]
+    dy = ny - gy[:, None, None]
+    edge_len = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)
+    di = jnp.floor(h - ny - 1.0).astype(jnp.int32)
+    dj = jnp.floor(nx).astype(jnp.int32)
+    inb = (di >= 0) & (di < h) & (dj >= 0) & (dj < w)
+    dic = jnp.clip(di, 0, h - 1)
+    djc = jnp.clip(dj, 0, w - 1)
+    dst_free = ~field.blocked[dic, djc] & inb
+
+    hit_d, hit = raycast_field(
+        field,
+        jnp.broadcast_to(gx[:, None, None], shape2),
+        jnp.broadcast_to(gy[:, None, None], shape2),
+        ang,
+        rc,
+    )
+    clear = ~hit | (hit_d >= edge_len)
+    ok = dst_free & clear & pop_valid[:, None, None]
+
+    tgt = _pose_to_cuboid(shape, kbins, nx, ny, nth)
+    cand = jnp.where(ok, gg[:, None, None] + ecost, INF)
+
+    # Improvements only (`slam/hastar.cpp:198` dedup against the cuboid).
+    cand = jnp.where(cand < st.g[tgt], cand, INF)
+
+    tgt_f = tgt.reshape(-1)
+    cand_f = cand.reshape(-1)
+    g = st.g.at[tgt_f].min(cand_f)
+
+    won = (cand_f <= g[tgt_f]) & (cand_f < INF)
+    tgt_w = jnp.where(won, tgt_f, 2 ** 30)  # scatter drop for losers
+    parent_src = jnp.broadcast_to(
+        pop[:, None, None], shape2
+    ).reshape(-1)
+    parent = st.parent.at[tgt_w].set(
+        parent_src, mode="drop"
+    )
+    px = st.px.at[tgt_w].set(nx.reshape(-1), mode="drop")
+    py = st.py.at[tgt_w].set(ny.reshape(-1), mode="drop")
+    pth = st.pth.at[tgt_w].set(nth.reshape(-1), mode="drop")
+    open_mask = open_mask.at[tgt_w].set(True, mode="drop")
+
+    return HAState(
+        g=g,
+        parent=parent,
+        px=px,
+        py=py,
+        pth=pth,
+        open_mask=open_mask,
+        goal_idx=goal_idx,
+        goal_cost=goal_cost,
+        n_expanded=st.n_expanded + jnp.sum(pop_valid),
+    )
+
+
+def _ha_solve(st, field, goal, target_bin, max_rounds, cfg, rc):
+    """Whole search as ONE device program: a while_loop over rounds, so a
+    full pathfind costs a single host<->device round trip (the per-round
+    incremental API stays for animation parity)."""
+
+    def cond(carry):
+        st, rounds = carry
+        return (st.goal_idx < 0) & jnp.any(st.open_mask) & (rounds < max_rounds)
+
+    def body(carry):
+        st, rounds = carry
+        return _ha_round(st, field, goal, target_bin, cfg, rc), rounds + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
+
+
+_ha_round_jit = jax.jit(_ha_round, static_argnums=(4, 5))
+_ha_solve_jit = jax.jit(_ha_solve, static_argnums=(5, 6))
 
 
 class HybridAStar:
@@ -91,20 +237,12 @@ class HybridAStar:
         self.rc = dataclasses.replace(
             rc, max_dist=min(rc.max_dist, cfg.velocity + 2.0)
         )
-        self._round = jax.jit(self._round_impl)
-        self._solve = jax.jit(self._solve_impl)
         self.reset(free, a, b)
 
     # -- cuboid indexing (`slam/hastar.cpp:234-241`) ----------------------
 
     def _pose_to_cuboid(self, x, y, theta):
-        h, w = self.shape
-        k = self.cfg.theta_res
-        i = jnp.clip(jnp.floor(h - y - 1.0).astype(jnp.int32), 0, h - 1)
-        j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
-        ang = jnp.mod(theta + 2 * jnp.pi, 2 * jnp.pi)
-        kk = jnp.clip((ang / (2 * jnp.pi / k)).astype(jnp.int32), 0, k - 1)
-        return (i * w + j) * k + kk
+        return _pose_to_cuboid(self.shape, self.cfg.theta_res, x, y, theta)
 
     def reset(self, free: jax.Array, a: Pose, b: Pose):
         """Reuse the planner for a new query (`slam/hastar.cpp:30-81`)."""
@@ -140,112 +278,7 @@ class HybridAStar:
         )
         self._goal = jnp.asarray([b.x, b.y], jnp.float32)
 
-    # -- one batched round ------------------------------------------------
 
-    def _round_impl(
-        self, st: HAState, field: RayField, goal: jax.Array, target_bin: jax.Array
-    ) -> HAState:
-        cfg = self.cfg
-        h, w = self.shape
-        kbins = cfg.theta_res
-        kpop = cfg.batch
-        bx, by = goal[0], goal[1]
-
-        heur = jnp.sqrt((st.px - bx) ** 2 + (st.py - by) ** 2)
-        f = jnp.where(st.open_mask, st.g + heur, INF)
-        neg_f, pop = jax.lax.top_k(-f, kpop)
-        pop_valid = -neg_f < INF
-
-        open_mask = st.open_mask.at[pop].set(False)
-
-        gx = st.px[pop]
-        gy = st.py[pop]
-        gth = st.pth[pop]
-        gg = st.g[pop]
-
-        # Goal test on popped nodes (`slam/hastar.cpp:178-184`).
-        tol2 = cfg.tol * cfg.tol
-        d2goal = (gx - bx) ** 2 + (gy - by) ** 2
-        bin_of = self._pose_to_cuboid(gx, gy, gth) % kbins
-        bin_ok = cfg.diff_drive | (bin_of == target_bin)
-        at_goal = (d2goal <= tol2) & bin_ok & pop_valid
-        # First (lowest-f) in-tolerance pop wins.
-        any_goal = jnp.any(at_goal)
-        first = jnp.argmax(at_goal)
-        goal_better = any_goal & (st.goal_idx < 0)
-        goal_idx = jnp.where(goal_better, pop[first], st.goal_idx)
-        goal_cost = jnp.where(goal_better, gg[first], st.goal_cost)
-
-        # Successor fan: [K, 2B] (`slam/hastar.cpp:88-112`).
-        vels = jnp.asarray([cfg.velocity, -cfg.velocity], jnp.float32)
-        cost_factor = jnp.asarray([1.0, cfg.reverse_factor], jnp.float32)
-        nth = gth[:, None, None] + (
-            vels[None, :, None] / cfg.length
-        ) * jnp.tan(self._thetas)[None, None, :]
-        nx = gx[:, None, None] + vels[None, :, None] * jnp.cos(nth)
-        ny = gy[:, None, None] + vels[None, :, None] * jnp.sin(nth)
-        ecost = (
-            cfg.velocity
-            + self._steer_costs[None, None, :] * cost_factor[None, :, None]
-        )
-        shape2 = nx.shape
-
-        # Feasibility: free in-bounds destination + clear straight line.
-        dx = nx - gx[:, None, None]
-        dy = ny - gy[:, None, None]
-        edge_len = jnp.sqrt(dx * dx + dy * dy)
-        ang = jnp.arctan2(dy, dx)
-        di = jnp.floor(h - ny - 1.0).astype(jnp.int32)
-        dj = jnp.floor(nx).astype(jnp.int32)
-        inb = (di >= 0) & (di < h) & (dj >= 0) & (dj < w)
-        dic = jnp.clip(di, 0, h - 1)
-        djc = jnp.clip(dj, 0, w - 1)
-        dst_free = ~field.blocked[dic, djc] & inb
-
-        hit_d, hit = raycast_field(
-            field,
-            jnp.broadcast_to(gx[:, None, None], shape2),
-            jnp.broadcast_to(gy[:, None, None], shape2),
-            ang,
-            self.rc,
-        )
-        clear = ~hit | (hit_d >= edge_len)
-        ok = dst_free & clear & pop_valid[:, None, None]
-
-        tgt = self._pose_to_cuboid(nx, ny, nth)
-        cand = jnp.where(ok, gg[:, None, None] + ecost, INF)
-
-        # Improvements only (`slam/hastar.cpp:198` dedup against the cuboid).
-        cand = jnp.where(cand < st.g[tgt], cand, INF)
-
-        tgt_f = tgt.reshape(-1)
-        cand_f = cand.reshape(-1)
-        g = st.g.at[tgt_f].min(cand_f)
-
-        won = (cand_f <= g[tgt_f]) & (cand_f < INF)
-        tgt_w = jnp.where(won, tgt_f, 2 ** 30)  # scatter drop for losers
-        parent_src = jnp.broadcast_to(
-            pop[:, None, None], shape2
-        ).reshape(-1)
-        parent = st.parent.at[tgt_w].set(
-            parent_src, mode="drop"
-        )
-        px = st.px.at[tgt_w].set(nx.reshape(-1), mode="drop")
-        py = st.py.at[tgt_w].set(ny.reshape(-1), mode="drop")
-        pth = st.pth.at[tgt_w].set(nth.reshape(-1), mode="drop")
-        open_mask = open_mask.at[tgt_w].set(True, mode="drop")
-
-        return HAState(
-            g=g,
-            parent=parent,
-            px=px,
-            py=py,
-            pth=pth,
-            open_mask=open_mask,
-            goal_idx=goal_idx,
-            goal_cost=goal_cost,
-            n_expanded=st.n_expanded + jnp.sum(pop_valid),
-        )
 
     # -- driver -----------------------------------------------------------
 
@@ -254,8 +287,8 @@ class HybridAStar:
         returns True on success/exhaustion)."""
         if self.success or self.used_up:
             return True
-        self.state = self._round(
-            self.state, self.field, self._goal, self._target_bin
+        self.state = _ha_round_jit(
+            self.state, self.field, self._goal, self._target_bin, self.cfg, self.rc
         )
         if int(self.state.goal_idx) >= 0:
             self.success = True
@@ -265,34 +298,16 @@ class HybridAStar:
             return True
         return False
 
-    def _solve_impl(self, st, field, goal, target_bin, max_rounds):
-        """Whole search as ONE device program: a while_loop over rounds, so a
-        full pathfind costs a single host<->device round trip (the per-round
-        incremental API stays for animation parity)."""
-
-        def cond(carry):
-            st, rounds = carry
-            return (
-                (st.goal_idx < 0)
-                & jnp.any(st.open_mask)
-                & (rounds < max_rounds)
-            )
-
-        def body(carry):
-            st, rounds = carry
-            return self._round_impl(st, field, goal, target_bin), rounds + 1
-
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-        return st
-
     def solve(self, max_rounds: Optional[int] = None) -> bool:
         max_rounds = max_rounds or self.cfg.max_rounds
-        self.state = self._solve(
+        self.state = _ha_solve_jit(
             self.state,
             self.field,
             self._goal,
             self._target_bin,
             jnp.int32(max_rounds),
+            self.cfg,
+            self.rc,
         )
         if int(self.state.goal_idx) >= 0:
             self.success = True

@@ -17,7 +17,9 @@ every candidate edge in one raycast call, and commits the batch with
 scatter-min cost resolution. Candidates within one round see the tree frozen
 at the round start, so the tree grows in waves rather than strictly one node
 at a time — acceptance is on path cost/feasibility, as with the other
-planners.
+planners. The whole solve is a single `lax.while_loop` device program, and
+the jitted core is module-level with static (cfg, rc) so compilation caches
+across planner instances.
 
 Deliberate fixes vs the reference:
   * steer distance is min(reach, dist-to-sample) — the reference overshoots
@@ -33,7 +35,8 @@ Deliberate fixes vs the reference:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import dataclasses
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +65,159 @@ class RRTState:
     key: jax.Array
 
 
+def _edges_clear(field: RayField, rc: RaycastConfig, x0, y0, x1, y1):
+    """Straight-line feasibility for a batch of edges (endpoint must be
+    free and in bounds; no obstacle strictly before the endpoint)."""
+    h, w = field.blocked.shape
+    dx = x1 - x0
+    dy = y1 - y0
+    d = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)
+    i = jnp.floor(h - y1 - 1.0).astype(jnp.int32)
+    j = jnp.floor(x1).astype(jnp.int32)
+    inb = (i >= 0) & (i < h) & (j >= 0) & (j < w)
+    ic = jnp.clip(i, 0, h - 1)
+    jc = jnp.clip(j, 0, w - 1)
+    dst_free = ~field.blocked[ic, jc] & inb
+    hd, hit = raycast_field(field, x0, y0, ang, rc)
+    return dst_free & (~hit | (hd >= d)) & (d > 0)
+
+
+def _rrt_round(
+    st: RRTState,
+    field: RayField,
+    goal: jax.Array,
+    cfg: RRTStarConfig,
+    rc: RaycastConfig,
+    neighbor_cap: int,
+) -> RRTState:
+    h, w = field.blocked.shape
+    k = cfg.batch
+    m = neighbor_cap
+    bx, by = goal[0], goal[1]
+
+    key, k_x, k_y = jax.random.split(st.key, 3)
+
+    # 1. Sample K points uniformly over the map (`slam/util.cpp:53-64`).
+    sx = jax.random.uniform(k_x, (k,), minval=0.0, maxval=float(w))
+    sy = jax.random.uniform(k_y, (k,), minval=0.0, maxval=float(h))
+
+    # 2. Nearest tree node per sample (kd-tree NN equivalent).
+    nn_idx, nn_dist = spatial.nearest_neighbor(st.x, st.y, st.valid, sx, sy)
+    rx = st.x[nn_idx]
+    ry = st.y[nn_idx]
+
+    # 3. Steer min(reach, dist) toward the sample; collision-check.
+    step_d = jnp.minimum(cfg.reach, nn_dist)
+    scale = step_d / jnp.maximum(nn_dist, 1e-9)
+    cx = rx + (sx - rx) * scale
+    cy = ry + (sy - ry) * scale
+    ok = _edges_clear(field, rc, rx, ry, cx, cy)
+
+    # 4. Choose parent among the M nearest in-radius tree nodes
+    #    (quadtree range query equivalent; `slam/rrtstar.cpp:91-105`).
+    d2 = spatial.sq_dist_tile(st.x, st.y, cx, cy)
+    d2 = jnp.where(st.valid[None, :], d2, INF)
+    in_rad = d2 <= cfg.radius * cfg.radius
+    neg_d2, nbr = jax.lax.top_k(jnp.where(in_rad, -d2, -INF), m)
+    nbr_ok = -neg_d2 < INF  # [K, M]
+
+    nbx = st.x[nbr]
+    nby = st.y[nbr]
+    ndist = jnp.sqrt((nbx - cx[:, None]) ** 2 + (nby - cy[:, None]) ** 2)
+    reach_ok = nbr_ok & _edges_clear(
+        field,
+        rc,
+        nbx,
+        nby,
+        jnp.broadcast_to(cx[:, None], nbx.shape),
+        jnp.broadcast_to(cy[:, None], nbx.shape),
+    )
+    through = jnp.where(reach_ok, st.cost[nbr] + ndist, INF)
+    pbest = jnp.argmin(through, axis=1)
+    new_cost = jnp.take_along_axis(through, pbest[:, None], 1)[:, 0]
+    new_parent = jnp.take_along_axis(nbr, pbest[:, None], 1)[:, 0]
+    ok = ok & (new_cost < INF)
+
+    # 5. Compact accepted candidates into fresh slots (after ALL rejections,
+    #    so the slot range stays contiguous).
+    offs = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    slots = jnp.where(ok, st.size + offs, cfg.max_nodes)
+    ok = ok & (slots < cfg.max_nodes)
+    slots = jnp.where(ok, slots, cfg.max_nodes)  # OOB -> scatter-dropped
+
+    # Commit the new nodes.
+    x = st.x.at[slots].set(cx, mode="drop")
+    y = st.y.at[slots].set(cy, mode="drop")
+    cost = st.cost.at[slots].set(new_cost, mode="drop")
+    parent = st.parent.at[slots].set(new_parent, mode="drop")
+    valid = st.valid.at[slots].set(True, mode="drop")
+    size = st.size + jnp.sum(ok)
+
+    # 6. Rewire pass (`slam/rrtstar.cpp:117-144`): route in-radius neighbors
+    #    through the new nodes when cheaper.
+    rew_cand = jnp.where(reach_ok, new_cost[:, None] + ndist, INF)
+    rew_cand = jnp.where(ok[:, None], rew_cand, INF)
+    nbr_f = nbr.reshape(-1)
+    cand_f = rew_cand.reshape(-1)
+    improved_cost = cost.at[nbr_f].min(cand_f)
+    won = (cand_f <= improved_cost[nbr_f]) & (cand_f < INF) & (cand_f < cost[nbr_f])
+    nbr_w = jnp.where(won, nbr_f, cfg.max_nodes)
+    slot_src = jnp.broadcast_to(slots[:, None], rew_cand.shape).reshape(-1)
+    parent = parent.at[nbr_w].set(slot_src.astype(jnp.int32), mode="drop")
+    cost = improved_cost
+
+    # 7. Goal connection (`slam/rrtstar.cpp:146-155`).
+    dgoal = jnp.sqrt((cx - bx) ** 2 + (cy - by) ** 2)
+    can_goal = (
+        ok
+        & (dgoal <= cfg.reach)
+        & _edges_clear(field, rc, cx, cy, jnp.full((k,), bx), jnp.full((k,), by))
+    )
+    total = jnp.where(can_goal, new_cost + dgoal, INF)
+    gbest = jnp.argmin(total)
+    gcost = total[gbest]
+    better = gcost < st.best_goal_cost
+    best_goal_node = jnp.where(
+        better, slots[gbest].astype(jnp.int32), st.best_goal_node
+    )
+    best_goal_cost = jnp.where(better, gcost, st.best_goal_cost)
+
+    return RRTState(
+        x=x,
+        y=y,
+        cost=cost,
+        parent=parent,
+        valid=valid,
+        size=size,
+        best_goal_node=best_goal_node,
+        best_goal_cost=best_goal_cost,
+        key=key,
+    )
+
+
+def _rrt_solve(st, field, goal, max_rounds, min_nodes, cfg, rc, neighbor_cap):
+    """Whole search as ONE device program: loop until a goal connection
+    exists AND the tree has min_nodes (the `apps/rrt_planner.cpp:50` densify
+    condition), the node budget is exhausted, or max_rounds pass."""
+
+    def cond(carry):
+        st, rounds = carry
+        want_more = (st.best_goal_node < 0) | (st.size < min_nodes)
+        return want_more & (st.size < cfg.max_nodes) & (rounds < max_rounds)
+
+    def body(carry):
+        st, rounds = carry
+        return _rrt_round(st, field, goal, cfg, rc, neighbor_cap), rounds + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
+
+
+_rrt_round_jit = jax.jit(_rrt_round, static_argnums=(3, 4, 5))
+_rrt_solve_jit = jax.jit(_rrt_solve, static_argnums=(5, 6, 7))
+
+
 class RRTStar:
     """Facade mirroring `slam/rrtstar.h:12-64`: pathfind() per round,
     recover_path() when done. Coordinates are world (x, y)."""
@@ -79,17 +235,17 @@ class RRTStar:
         assert cfg.radius >= cfg.reach, "radius must cover reach"
         self.cfg = cfg
         # Edges are bounded by the rewire radius; clamp collision rays so
-        # they resolve in few sphere-trace iterations (see HybridAStar).
-        import dataclasses
-
-        rc = dataclasses.replace(rc, max_dist=min(rc.max_dist, cfg.radius + 2.0))
-        self.rc = rc
+        # they resolve in few sphere-trace iterations.
+        self.rc = dataclasses.replace(
+            rc, max_dist=min(rc.max_dist, cfg.radius + 2.0)
+        )
         self.neighbor_cap = neighbor_cap
         free = jnp.asarray(free, bool)
         self.shape = free.shape
-        self.field = make_ray_field(~free, rc)
+        self.field = make_ray_field(~free, self.rc)
         self.a = (float(a[0]), float(a[1]))
         self.b = (float(b[0]), float(b[1]))
+        self._goal = jnp.asarray([self.b[0], self.b[1]], jnp.float32)
         self.success = False
         self.used_up = False
 
@@ -102,136 +258,8 @@ class RRTStar:
             valid=jnp.zeros((n,), bool).at[0].set(True),
             size=jnp.int32(1),
             best_goal_node=jnp.int32(-1),
-            best_goal_cost=INF,
+            best_goal_cost=jnp.float32(INF),
             key=jax.random.key(seed),
-        )
-        self._round = jax.jit(self._round_impl)
-
-    def _edges_clear(self, x0, y0, x1, y1):
-        """Straight-line feasibility for a batch of edges (endpoint must be
-        free and in bounds; no obstacle strictly before the endpoint)."""
-        h, w = self.shape
-        dx = x1 - x0
-        dy = y1 - y0
-        d = jnp.sqrt(dx * dx + dy * dy)
-        ang = jnp.arctan2(dy, dx)
-        i = jnp.floor(h - y1 - 1.0).astype(jnp.int32)
-        j = jnp.floor(x1).astype(jnp.int32)
-        inb = (i >= 0) & (i < h) & (j >= 0) & (j < w)
-        ic = jnp.clip(i, 0, h - 1)
-        jc = jnp.clip(j, 0, w - 1)
-        dst_free = ~self.field.blocked[ic, jc] & inb
-        hd, hit = raycast_field(self.field, x0, y0, ang, self.rc)
-        return dst_free & (~hit | (hd >= d)) & (d > 0)
-
-    def _round_impl(self, st: RRTState) -> RRTState:
-        cfg = self.cfg
-        h, w = self.shape
-        k = cfg.batch
-        m = self.neighbor_cap
-        bx, by = self.b
-
-        key, k_x, k_y = jax.random.split(st.key, 3)
-
-        # 1. Sample K points uniformly over the map (`slam/util.cpp:53-64`).
-        sx = jax.random.uniform(k_x, (k,), minval=0.0, maxval=float(w))
-        sy = jax.random.uniform(k_y, (k,), minval=0.0, maxval=float(h))
-
-        # 2. Nearest tree node per sample (kd-tree NN equivalent).
-        nn_idx, nn_dist = spatial.nearest_neighbor(st.x, st.y, st.valid, sx, sy)
-        rx = st.x[nn_idx]
-        ry = st.y[nn_idx]
-
-        # 3. Steer min(reach, dist) toward the sample; collision-check.
-        step_d = jnp.minimum(cfg.reach, nn_dist)
-        scale = step_d / jnp.maximum(nn_dist, 1e-9)
-        cx = rx + (sx - rx) * scale
-        cy = ry + (sy - ry) * scale
-        ok = self._edges_clear(rx, ry, cx, cy)
-
-        # 4. Choose parent among the M nearest in-radius tree nodes
-        #    (quadtree range query equivalent; `slam/rrtstar.cpp:91-105`).
-        d2 = spatial.sq_dist_tile(st.x, st.y, cx, cy)
-        d2 = jnp.where(st.valid[None, :], d2, INF)
-        in_rad = d2 <= cfg.radius * cfg.radius
-        neg_d2, nbr = jax.lax.top_k(jnp.where(in_rad, -d2, -INF), m)
-        nbr_ok = -neg_d2 < INF  # [K, M]
-
-        nbx = st.x[nbr]
-        nby = st.y[nbr]
-        ndist = jnp.sqrt(
-            (nbx - cx[:, None]) ** 2 + (nby - cy[:, None]) ** 2
-        )
-        reach_ok = nbr_ok & self._edges_clear(
-            nbx,
-            nby,
-            jnp.broadcast_to(cx[:, None], nbx.shape),
-            jnp.broadcast_to(cy[:, None], nbx.shape),
-        )
-        through = jnp.where(reach_ok, st.cost[nbr] + ndist, INF)
-        pbest = jnp.argmin(through, axis=1)
-        new_cost = jnp.take_along_axis(through, pbest[:, None], 1)[:, 0]
-        new_parent = jnp.take_along_axis(nbr, pbest[:, None], 1)[:, 0]
-        ok = ok & (new_cost < INF)
-
-        # 5. Compact accepted candidates into fresh slots (after ALL
-        #    rejections, so the slot range stays contiguous).
-        offs = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        slots = jnp.where(ok, st.size + offs, cfg.max_nodes)
-        ok = ok & (slots < cfg.max_nodes)
-        slots = jnp.where(ok, slots, cfg.max_nodes)  # OOB -> scatter-dropped
-
-        # Commit the new nodes.
-        x = st.x.at[slots].set(cx, mode="drop")
-        y = st.y.at[slots].set(cy, mode="drop")
-        cost = st.cost.at[slots].set(new_cost, mode="drop")
-        parent = st.parent.at[slots].set(new_parent, mode="drop")
-        valid = st.valid.at[slots].set(True, mode="drop")
-        size = st.size + jnp.sum(ok)
-
-        # 6. Rewire pass (`slam/rrtstar.cpp:117-144`): route in-radius
-        #    neighbors through the new nodes when cheaper.
-        rew_cand = jnp.where(reach_ok, new_cost[:, None] + ndist, INF)
-        rew_cand = jnp.where(ok[:, None], rew_cand, INF)
-        nbr_f = nbr.reshape(-1)
-        cand_f = rew_cand.reshape(-1)
-        improved_cost = cost.at[nbr_f].min(cand_f)
-        won = (cand_f <= improved_cost[nbr_f]) & (cand_f < INF) & (
-            cand_f < cost[nbr_f]
-        )
-        nbr_w = jnp.where(won, nbr_f, cfg.max_nodes)
-        slot_src = jnp.broadcast_to(slots[:, None], rew_cand.shape).reshape(-1)
-        parent = parent.at[nbr_w].set(slot_src.astype(jnp.int32), mode="drop")
-        cost = improved_cost
-
-        # 7. Goal connection (`slam/rrtstar.cpp:146-155`).
-        dgoal = jnp.sqrt((cx - bx) ** 2 + (cy - by) ** 2)
-        can_goal = (
-            ok
-            & (dgoal <= cfg.reach)
-            & self._edges_clear(
-                cx, cy, jnp.full((k,), bx), jnp.full((k,), by)
-            )
-        )
-        total = jnp.where(can_goal, new_cost + dgoal, INF)
-        gbest = jnp.argmin(total)
-        gcost = total[gbest]
-        better = gcost < st.best_goal_cost
-        best_goal_node = jnp.where(
-            better, slots[gbest].astype(jnp.int32), st.best_goal_node
-        )
-        best_goal_cost = jnp.where(better, gcost, st.best_goal_cost)
-
-        return RRTState(
-            x=x,
-            y=y,
-            cost=cost,
-            parent=parent,
-            valid=valid,
-            size=size,
-            best_goal_node=best_goal_node,
-            best_goal_cost=best_goal_cost,
-            key=key,
         )
 
     # -- driver -----------------------------------------------------------
@@ -246,36 +274,25 @@ class RRTStar:
         `apps/rrt_planner.cpp:50`)."""
         if self.used_up:
             return True
-        self.state = self._round(self.state)
+        self.state = _rrt_round_jit(
+            self.state, self.field, self._goal, self.cfg, self.rc, self.neighbor_cap
+        )
         if int(self.state.best_goal_node) >= 0:
             self.success = True
         if int(self.state.size) >= self.cfg.max_nodes:
             self.used_up = True
         return self.success or self.used_up
 
-    def _solve_impl(self, st, max_rounds, min_nodes):
-        """Whole search as ONE device program (see HybridAStar._solve_impl):
-        loop until a goal connection exists AND the tree has min_nodes (the
-        `apps/rrt_planner.cpp:50` densify condition), the node budget is
-        exhausted, or max_rounds pass."""
-
-        def cond(carry):
-            st, rounds = carry
-            want_more = (st.best_goal_node < 0) | (st.size < min_nodes)
-            return want_more & (st.size < self.cfg.max_nodes) & (rounds < max_rounds)
-
-        def body(carry):
-            st, rounds = carry
-            return self._round_impl(st), rounds + 1
-
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-        return st
-
     def solve(self, max_rounds: int = 256, min_nodes: int = 0) -> bool:
-        if not hasattr(self, "_solve"):
-            self._solve = jax.jit(self._solve_impl)
-        self.state = self._solve(
-            self.state, jnp.int32(max_rounds), jnp.int32(min_nodes)
+        self.state = _rrt_solve_jit(
+            self.state,
+            self.field,
+            self._goal,
+            jnp.int32(max_rounds),
+            jnp.int32(min_nodes),
+            self.cfg,
+            self.rc,
+            self.neighbor_cap,
         )
         if int(self.state.best_goal_node) >= 0:
             self.success = True
