@@ -160,6 +160,11 @@ class HybridAStarConfig:
     # Frontier nodes expanded per device step (batched A* round size).
     batch: int = 256
     max_rounds: int = 4096
+    # Frontier selection: "grouped" pops the best open node of each of
+    # `batch` strided index groups (one O(S) pass); "topk" pops the exact
+    # global best `batch` (a ~10x costlier full top-k per round, for
+    # strict best-first expansion order).
+    selection: str = "grouped"
 
 
 @dataclasses.dataclass(frozen=True)
