@@ -165,6 +165,13 @@ class HybridAStarConfig:
     # global best `batch` (a ~10x costlier full top-k per round, for
     # strict best-first expansion order).
     selection: str = "grouped"
+    # Heuristic: "geodesic" precomputes an obstacle-aware distance-to-goal
+    # field with the A* wavefront on a `coarse`-downsampled grid (the
+    # holonomic-with-obstacles heuristic of Dolgov et al.; far stronger
+    # pruning than the reference's Euclidean distance, `slam/hastar.cpp:62`);
+    # "euclid" keeps reference behavior.
+    heuristic: str = "geodesic"
+    coarse: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,7 @@ def _ha_round(
     field: RayField,
     goal: jax.Array,
     target_bin: jax.Array,
+    hfield: jax.Array,
     cfg: HybridAStarConfig,
     rc: RaycastConfig,
 ) -> HAState:
@@ -98,8 +99,16 @@ def _ha_round(
     bx, by = goal[0], goal[1]
     thetas, steer_costs = _steering_tables(cfg)
 
-    heur = jnp.sqrt((st.px - bx) ** 2 + (st.py - by) ** 2)
+    if cfg.heuristic == "geodesic":
+        # Precomputed obstacle-aware distance-to-goal per cuboid cell.
+        heur = hfield
+    else:
+        heur = jnp.sqrt((st.px - bx) ** 2 + (st.py - by) ** 2)
     f = jnp.where(st.open_mask, st.g + heur, INF)
+    # Nodes whose heuristic is INF (goal-unreachable region) are dead:
+    # close them so the search terminates instead of popping them forever.
+    open_now = st.open_mask & (f < INF)
+    f = jnp.where(open_now, f, INF)
     s = f.shape[0]
     if cfg.selection == "grouped":
         # Best open node per strided index group: one O(S) argmin pass
@@ -122,7 +131,7 @@ def _ha_round(
         raise ValueError(f"unknown selection: {cfg.selection}")
 
     pop_clear = jnp.where(pop_valid, pop, s)  # drop invalid pops
-    open_mask = st.open_mask.at[pop_clear].set(False, mode="drop")
+    open_mask = open_now.at[pop_clear].set(False, mode="drop")
 
     gx = st.px[pop]
     gy = st.py[pop]
@@ -214,7 +223,7 @@ def _ha_round(
     )
 
 
-def _ha_solve(st, field, goal, target_bin, max_rounds, cfg, rc):
+def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
     """Whole search as ONE device program: a while_loop over rounds, so a
     full pathfind costs a single host<->device round trip (the per-round
     incremental API stays for animation parity)."""
@@ -225,14 +234,14 @@ def _ha_solve(st, field, goal, target_bin, max_rounds, cfg, rc):
 
     def body(carry):
         st, rounds = carry
-        return _ha_round(st, field, goal, target_bin, cfg, rc), rounds + 1
+        return _ha_round(st, field, goal, target_bin, hfield, cfg, rc), rounds + 1
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st
 
 
-_ha_round_jit = jax.jit(_ha_round, static_argnums=(4, 5))
-_ha_solve_jit = jax.jit(_ha_solve, static_argnums=(5, 6))
+_ha_round_jit = jax.jit(_ha_round, static_argnums=(5, 6))
+_ha_solve_jit = jax.jit(_ha_solve, static_argnums=(6, 7))
 
 
 class HybridAStar:
@@ -296,6 +305,30 @@ class HybridAStar:
             self._pose_to_cuboid(b.x, b.y, b.theta) % k, jnp.int32
         )
         self._goal = jnp.asarray([b.x, b.y], jnp.float32)
+        self._hfield = self._build_hfield(free, b)
+
+    def _build_hfield(self, free: jax.Array, b: Pose) -> jax.Array:
+        """Heuristic table per cuboid cell. "geodesic" runs the A* wavefront
+        to the goal on a `coarse`-downsampled grid (max-pooled free space,
+        so distances underestimate -> admissible) and tiles it over theta
+        bins; "euclid" returns a dummy (computed in-round)."""
+        if self.cfg.heuristic != "geodesic":
+            return jnp.zeros((1,), jnp.float32)
+        from slam_tpu.planners import astar as astar_mod
+
+        h, w = self.shape
+        k = self.cfg.theta_res
+        f4 = max(1, self.cfg.coarse)
+        ph = (-h) % f4
+        pw = (-w) % f4
+        fpad = jnp.pad(free, ((0, ph), (0, pw)))
+        free_c = fpad.reshape((h + ph) // f4, f4, (w + pw) // f4, f4).any((1, 3))
+        gi = jnp.clip(jnp.floor(h - b.y - 1.0).astype(jnp.int32), 0, h - 1) // f4
+        gj = jnp.clip(jnp.floor(b.x).astype(jnp.int32), 0, w - 1) // f4
+        dc = astar_mod.distance_field(free_c, jnp.stack([gi, gj]))
+        h2d = jnp.repeat(jnp.repeat(dc * f4, f4, 0), f4, 1)[:h, :w]
+        h2d = jnp.minimum(h2d, INF)
+        return jnp.repeat(h2d.reshape(-1), k)
 
 
 
@@ -307,7 +340,8 @@ class HybridAStar:
         if self.success or self.used_up:
             return True
         self.state = _ha_round_jit(
-            self.state, self.field, self._goal, self._target_bin, self.cfg, self.rc
+            self.state, self.field, self._goal, self._target_bin,
+            self._hfield, self.cfg, self.rc,
         )
         if int(self.state.goal_idx) >= 0:
             self.success = True
@@ -324,6 +358,7 @@ class HybridAStar:
             self.field,
             self._goal,
             self._target_bin,
+            self._hfield,
             jnp.int32(max_rounds),
             self.cfg,
             self.rc,
