@@ -210,7 +210,7 @@ def main():
     ap.add_argument("which", nargs="+", choices=["mcl", "hastar", "rrtstar", "spatial", "all"])
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--hastar-batch", type=int, default=1024)
+    ap.add_argument("--hastar-batch", type=int, default=512)
     ap.add_argument("--rrt-batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
