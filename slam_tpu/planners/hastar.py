@@ -273,13 +273,20 @@ class HybridAStar:
         return _pose_to_cuboid(self.shape, self.cfg.theta_res, x, y, theta)
 
     def reset(self, free: jax.Array, a: Pose, b: Pose):
-        """Reuse the planner for a new query (`slam/hastar.cpp:30-81`)."""
+        """New map + new query (`slam/hastar.cpp:30-81`). For a new query on
+        the SAME map use `reset_query` — it keeps the prebuilt ray field
+        (the expensive part, especially for the lut edge backend)."""
         free = jnp.asarray(free, bool)
         self.shape = free.shape
+        self._free = free
+        self.field = make_ray_field(~free, self.rc)
+        self.reset_query(a, b)
+
+    def reset_query(self, a: Pose, b: Pose):
+        """Re-target start/goal, reusing the map's ray field."""
         h, w = self.shape
         k = self.cfg.theta_res
         s = h * w * k
-        self.field = make_ray_field(~free, self.rc)
         self.a = a
         self.b = b
         self.success = False
@@ -305,7 +312,7 @@ class HybridAStar:
             self._pose_to_cuboid(b.x, b.y, b.theta) % k, jnp.int32
         )
         self._goal = jnp.asarray([b.x, b.y], jnp.float32)
-        self._hfield = self._build_hfield(free, b)
+        self._hfield = self._build_hfield(self._free, b)
 
     def _build_hfield(self, free: jax.Array, b: Pose) -> jax.Array:
         """Heuristic table per cuboid cell. "geodesic" runs the A* wavefront

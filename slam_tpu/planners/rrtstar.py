@@ -243,6 +243,11 @@ class RRTStar:
         free = jnp.asarray(free, bool)
         self.shape = free.shape
         self.field = make_ray_field(~free, self.rc)
+        self.reset_query(a, b, seed)
+
+    def reset_query(self, a, b, seed: int = 0):
+        """Re-target start/goal on the same map (the ray field is reused)."""
+        cfg = self.cfg
         self.a = (float(a[0]), float(a[1]))
         self.b = (float(b[0]), float(b[1]))
         self._goal = jnp.asarray([self.b[0], self.b[1]], jnp.float32)
