@@ -16,6 +16,10 @@ g++ $CXXFLAGS $INC /root/repo/tools/refbench/ref_mcl_bench.cpp $SRCS $LIBS \
     -o "$OUT/ref_mcl_bench"
 echo "built $OUT/ref_mcl_bench"
 
+g++ $CXXFLAGS $INC /root/repo/tools/refbench/ref_mcl_traj.cpp $SRCS $LIBS \
+    -o "$OUT/ref_mcl_traj"
+echo "built $OUT/ref_mcl_traj"
+
 PSRCS="$REF/slam/hastar.cpp $REF/slam/rrtstar.cpp $REF/slam/kdtree.cpp \
        $REF/slam/quadtree.cpp $REF/slam/raycast.cpp $REF/slam/util.cpp \
        $REF/slam/thirdparty/log.cpp"
