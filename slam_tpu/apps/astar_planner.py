@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--goal", type=int, nargs=2, default=None, metavar=("I", "J"))
     ap.add_argument("--inflate", type=int, default=0)
     ap.add_argument("--out", default="astar.png")
+    ap.add_argument("--animate", default=None, metavar="GIF",
+                    help="write wavefront animation (uses the incremental API)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -41,8 +43,27 @@ def main(argv=None):
     goal = tuple(args.goal or (3 * h // 4 + h // 8, 3 * w // 4))
 
     planner = AStar(free, start, goal)
-    with measure_time("A* distance field"):
-        ok = planner.solve()
+    if args.animate:
+        import numpy as _np
+
+        frames = []
+        with measure_time("A* distance field (animated)"):
+            while not planner.pathfind(rounds=16):
+                img = render.blocked_to_rgb(blocked)
+                reached = _np.isfinite(_np.asarray(planner.dist)) & (
+                    _np.asarray(planner.dist) < 1e29
+                )
+                img[reached] = (img[reached] * 0.4 + _np.array(render.BLUE) * 0.6).astype(
+                    _np.uint8
+                )
+                frames.append(img)
+        ok = planner.success
+        if frames:
+            render.save_gif(frames, args.animate)
+            print(f"animation -> {args.animate}")
+    else:
+        with measure_time("A* distance field"):
+            ok = planner.solve()
 
     img = render.blocked_to_rgb(blocked)
     if ok:

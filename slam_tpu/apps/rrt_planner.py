@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--inflate", type=int, default=5)
     ap.add_argument("--seed", type=int, default=1234)  # `benchmark/rrtstar.cpp`
     ap.add_argument("--out", default="rrt.png")
+    ap.add_argument("--animate", default=None, metavar="GIF",
+                    help="write tree-growth animation (round-by-round API)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -55,14 +57,30 @@ def main(argv=None):
     )
     planner = RRTStar(free, start, goal, cfg, seed=args.seed)
 
+    frames = []
     with measure_time("RRT* pathfind"):
         # Keep iterating until success AND enough nodes (`rrt_planner.cpp:50`).
         while True:
             done = planner.pathfind()
+            if args.animate:
+                fr = render.blocked_to_rgb(blocked)
+                xs0 = np.asarray(planner.state.x)
+                ys0 = np.asarray(planner.state.y)
+                par0 = np.asarray(planner.state.parent)
+                for i in np.nonzero(np.asarray(planner.state.valid))[0]:
+                    if par0[i] >= 0:
+                        render.draw_path_world(
+                            fr, [(xs0[i], ys0[i]), (xs0[par0[i]], ys0[par0[i]])],
+                            render.BLUE,
+                        )
+                frames.append(fr)
             if (done or planner.success) and planner.size >= args.n_points:
                 break
             if planner.used_up:
                 break
+    if args.animate and frames:
+        render.save_gif(frames, args.animate, fps=5)
+        print(f"animation -> {args.animate}")
 
     img = render.blocked_to_rgb(blocked)
     # Tree edges (the reference draws each as it is added).
