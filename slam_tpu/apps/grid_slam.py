@@ -91,6 +91,9 @@ def main(argv=None):
     ap.add_argument("--frame-every", type=int, default=2)
     ap.add_argument("--interactive", action="store_true", help="read w/a/s/d from stdin")
     ap.add_argument("--commands", default=None, help="file of 'rot1 trans rot2' lines")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save rolling orbax checkpoints here and resume if present")
+    ap.add_argument("--checkpoint-every", type=int, default=25)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -135,9 +138,24 @@ def main(argv=None):
                 Odometry.create(*map(float, line.split())) for line in f if line.strip()
             ]
 
+    ckpt_mgr = None
+    start_step = 0
+    if args.checkpoint_dir and args.mode == "slam":
+        from slam_tpu.utils import checkpoint as ckpt_lib
+
+        ckpt_mgr = ckpt_lib.CheckpointManager(args.checkpoint_dir)
+
     gt_pose = start
+    if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        # The sim's ground truth rides along so a resumed run continues the
+        # same trajectory (a real deployment would only carry `state`).
+        payload = ckpt_mgr.restore({"state": state, "gt": gt_pose})
+        state = payload["state"]
+        gt_pose = payload["gt"]
+        start_step = int(ckpt_mgr.latest_step()) + 1
+        print(f"resumed from step {start_step - 1}")
     frames, est_xy, gt_xy = [], [], []
-    for t in range(args.steps if not scripted else len(scripted)):
+    for t in range(start_step, args.steps if not scripted else len(scripted)):
         key, k_gt, k_cmd = jax.random.split(key, 3)
         if args.interactive:
             odom = keyboard_command(args.trans, 0.4)
@@ -172,6 +190,9 @@ def main(argv=None):
         est_xy.append([float(mp.x), float(mp.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
 
+        if ckpt_mgr is not None and (t + 1) % args.checkpoint_every == 0:
+            ckpt_mgr.save(t, {"state": state, "gt": gt_pose})
+
         if t % args.frame_every == 0:
             if args.mode == "slam":
                 img = render.prob_to_rgb(np.asarray(engine.prob_map(state)))
@@ -187,6 +208,8 @@ def main(argv=None):
             render.draw_pose(img, gt_pose.x, gt_pose.y, gt_pose.theta, render.MAGENTA, 3)
             frames.append(img)
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if frames:
         render.save_gif(frames, args.out)
     ate = ate_rmse(np.asarray(est_xy), np.asarray(gt_xy))
