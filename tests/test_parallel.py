@@ -99,3 +99,23 @@ def test_distributed_helpers_single_process():
     tree = {"a": jnp.arange(3), "b": 1.5}
     out = distributed.replicate_to_all_hosts(tree)
     np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
+
+
+def test_sharded_mcl_with_lut_backend():
+    """The LUT table rides along as a replicated array in the sharded path."""
+    from slam_tpu.core.config import MCLConfig, RaycastConfig
+    from slam_tpu.ops import rayfield
+
+    blocked, pose, _, _ = _scene()
+    rc = RaycastConfig(max_dist=100.0, backend="lut", lut_bins=64)
+    field = rayfield.make_ray_field(blocked, rc)
+    scan = fake_lidar.scan(
+        blocked, pose, LidarConfig(n_rays=16, max_dist=100.0), RaycastConfig(max_dist=100.0)
+    )
+    cfg = MCLConfig(n_particles=N)
+    mesh = make_mesh(8, beam_axis=2)
+    m = ShardedMCL(mesh, cfg, rc)
+    st = m.init(H, W)
+    st = m.update(st, scan, field)
+    jax.block_until_ready(st)
+    assert st.particles.pose.x.sharding.shard_shape((N,))[0] == N // 4
