@@ -1,0 +1,73 @@
+"""App smoke tests: each CLI demo runs headlessly end-to-end on tiny
+configs (CPU; conftest pins the backend)."""
+
+import numpy as np
+import pytest
+
+from slam_tpu.apps import (
+    astar_planner,
+    grid_slam,
+    hastar_planner,
+    nearest_neighbor,
+    regions,
+    rrt_planner,
+)
+
+
+def test_grid_slam_app(tmp_path):
+    out = str(tmp_path / "s.gif")
+    ate = grid_slam.main(
+        [
+            "--particles", "64", "--steps", "20", "--n-rays", "12",
+            "--max-dist", "60", "--frame-every", "5", "--out", out,
+        ]
+    )
+    assert ate < 30.0
+    assert (tmp_path / "s.gif").exists()
+
+
+def test_grid_slam_app_loc_mode(tmp_path):
+    out = str(tmp_path / "l.gif")
+    ate = grid_slam.main(
+        [
+            "--mode", "loc", "--particles", "64", "--steps", "15",
+            "--n-rays", "12", "--max-dist", "60", "--out", out,
+        ]
+    )
+    assert ate < 20.0
+
+
+def test_astar_app(tmp_path):
+    ok = astar_planner.main(["--out", str(tmp_path / "a.png")])
+    assert ok
+
+
+def test_hastar_app(tmp_path):
+    ok = hastar_planner.main(
+        [
+            "--out", str(tmp_path / "h.png"), "--velocity", "5",
+            "--batch", "64", "--inflate", "2",
+            "--start", "40", "64", "--goal", "200", "64",
+        ]
+    )
+    assert ok
+
+
+def test_rrt_app(tmp_path):
+    ok = rrt_planner.main(
+        [
+            "--out", str(tmp_path / "r.png"), "--n-points", "100",
+            "--reach", "8", "--radius", "16", "--max-nodes", "1024",
+            "--batch", "64", "--inflate", "2",
+        ]
+    )
+    assert ok
+
+
+def test_nn_and_regions_apps(tmp_path):
+    nearest_neighbor.main(
+        ["--n", "200", "--queries", "3", "--check", "--out", str(tmp_path / "n.png")]
+    )
+    regions.main(
+        ["--n", "300", "--boxes", "2", "--check", "--out", str(tmp_path / "g.png")]
+    )

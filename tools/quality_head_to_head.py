@@ -1,5 +1,21 @@
-import sys, json; sys.path.insert(0, "/root/repo")
-import jax; jax.config.update('jax_platforms','cpu')
+#!/usr/bin/env python
+"""Head-to-head trajectory quality vs the C++ reference.
+
+Run `tools/refbench/build.sh`, then
+`.build/ref_mcl_traj <map> 200 120 2.5 0.02 > /tmp/ref_traj.jsonl`, then this
+script: it replays the identical deterministic trajectory and exact-DDA scans
+through the slam_tpu filter and prints both implementations' ATE. See
+RESULTS.md for recorded numbers.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp, numpy as np
 from slam_tpu.core.config import LidarConfig, MCLConfig, RaycastConfig
 from slam_tpu.core.types import Odometry, Pose
@@ -9,7 +25,7 @@ from slam_tpu.ops.measurement import sensor_pose
 from slam_tpu.utils.maps import load_binary_map
 from slam_tpu.utils.metrics import ate_rmse
 
-ref = [json.loads(l) for l in open('/tmp/ref_traj.jsonl')]
+ref = [json.loads(l) for l in open(sys.argv[1] if len(sys.argv) > 1 else '/tmp/ref_traj.jsonl')]
 gt_xy = np.array([r["gt"][:2] for r in ref])
 ref_best = np.array([r["best"] for r in ref])
 ref_mean = np.array([r["mean"] for r in ref])
