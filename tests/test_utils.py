@@ -68,3 +68,39 @@ def test_render_primitives(tmp_path):
     render.save_png(img, p)
     render.save_gif([img, img], str(tmp_path / "x.gif"))
     assert os.path.getsize(p) > 0
+
+
+def test_diagnostics_and_recovery():
+    import jax.numpy as jnp
+
+    from slam_tpu.core.types import Pose as P
+    from slam_tpu.models import mcl as mcl_mod
+    from slam_tpu.models.simulate import synthetic_room
+    from slam_tpu.utils import diagnostics
+
+    blocked = jnp.asarray(synthetic_room(64, 64))
+    state = mcl_mod.init(jax.random.key(0), 128, P.create(32.0, 32.0, 0.0))
+    h = diagnostics.filter_health(state)
+    assert abs(float(h["ess_frac"]) - 1.0) < 1e-5  # uniform weights
+    assert not bool(h["any_nan"])
+    assert not diagnostics.needs_recovery(h)
+
+    # Degenerate weights -> recovery trigger; recovery restores health.
+    lw = jnp.full((128,), -100.0).at[0].set(0.0)
+    bad = state.replace(particles=state.particles.replace(log_weight=lw))
+    hb = diagnostics.filter_health(bad)
+    assert float(hb["ess_frac"]) < 0.02
+    assert diagnostics.needs_recovery(hb)
+
+    rec = diagnostics.recover(jax.random.key(1), bad, blocked)
+    hr = diagnostics.filter_health(rec)
+    assert abs(float(hr["ess_frac"]) - 1.0) < 1e-5
+    assert float(hr["spread_x"]) > 5.0  # spread over the map
+
+    # NaN detection.
+    nan_state = state.replace(
+        particles=state.particles.replace(
+            pose=state.particles.pose.replace(x=state.particles.pose.x.at[3].set(jnp.nan))
+        )
+    )
+    assert bool(diagnostics.filter_health(nan_state)["any_nan"])
