@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--backend", default="lut", choices=["march", "sdf", "lut"])
+    ap.add_argument(
+        "--measurement", default="beam", choices=["beam", "likelihood_field"]
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,11 +71,15 @@ def main():
     lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
     # Static map -> the one-gather-per-ray LUT backend (the TPU-native fast
     # path; quality vs the exact march is covered by tests/test_rayfield.py).
-    rc = RaycastConfig(step=0.5, max_dist=500.0, backend=args.backend)
+    backend = args.backend
+    if args.measurement == "likelihood_field" and backend == "lut":
+        backend = "sdf"  # LF needs the EDT, not the beam LUT
+    rc = RaycastConfig(step=0.5, max_dist=500.0, backend=backend)
     cfg = MCLConfig(
         n_particles=args.particles,
         meas_stddev=5.0,
         scanner_offset=(0.0, 30.0, 0.0),
+        measurement=args.measurement,
     )
 
     pose = Pose.create(400.0, 400.0, np.pi)

@@ -101,16 +101,29 @@ def update(
     pins the [N, B] ray batch to a device mesh (see slam_tpu.parallel).
     """
     field = rayfield.as_ray_field(field, rc)
-    lw = measurement.particle_log_weights(
-        field,
-        state.particles.pose,
-        scan,
-        rc=rc,
-        scanner_offset=cfg.scanner_offset,
-        stddev=cfg.meas_stddev,
-        eps=cfg.meas_epsilon,
-        ray_sharding=ray_sharding,
-    )
+    if cfg.measurement == "likelihood_field":
+        lw = measurement.particle_log_weights_likelihood_field(
+            field,
+            state.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.scanner_offset,
+            stddev=cfg.meas_stddev,
+            z_hit=cfg.lf_z_hit,
+            z_rand=cfg.lf_z_rand,
+            ray_sharding=ray_sharding,
+        )
+    else:
+        lw = measurement.particle_log_weights(
+            field,
+            state.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.scanner_offset,
+            stddev=cfg.meas_stddev,
+            eps=cfg.meas_epsilon,
+            ray_sharding=ray_sharding,
+        )
     log_weight = state.particles.log_weight + lw
     best_idx = jnp.argmax(log_weight)
     best_pose = jax.tree.map(lambda a: a[best_idx], state.particles.pose)

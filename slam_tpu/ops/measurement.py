@@ -55,6 +55,59 @@ def beam_log_weights(pred_dist, hit, meas_dist, *, stddev, max_dist, eps=0.1):
     return log_pdf_normal_clamp_eps(stddev, err, eps)
 
 
+def particle_log_weights_likelihood_field(
+    field,
+    poses: Pose,
+    scan: Scan,
+    *,
+    rc: RaycastConfig = RaycastConfig(),
+    scanner_offset=(0.0, 0.0, 0.0),
+    stddev: float = 5.0,
+    z_hit: float = 0.95,
+    z_rand: float = 0.05,
+    ray_sharding=None,
+):
+    """Likelihood-field measurement model (Thrun et al. table 6.3).
+
+    Each beam's endpoint in the world frame is scored by its Euclidean
+    distance to the nearest obstacle (one gather from the EDT) under a
+    z_hit * N(0, sigma) + z_rand / z_max mixture; max-range beams are
+    skipped, out-of-map endpoints get the random-mixture floor. No
+    raycasting — the TPU-fast model for both static and per-step-updated
+    maps (the EDT rebuilds gather-free via JFA).
+    """
+    from slam_tpu.core.stats import pdf_normal
+    from slam_tpu.ops.rayfield import as_ray_field
+    from slam_tpu.core import grid as gridlib
+
+    field = as_ray_field(field, rc)
+    if field.edt is None:
+        raise ValueError(
+            "likelihood_field needs field.edt (use the 'sdf' backend)"
+        )
+    h, w = field.edt.shape
+    sp = sensor_pose(poses, scanner_offset)
+    angles = sp.theta[:, None] + scan.angles[None, :]  # [N, B]
+    z = scan.dists[None, :]
+    ex = sp.x[:, None] + z * jnp.cos(angles)
+    ey = sp.y[:, None] + z * jnp.sin(angles)
+    if ray_sharding is not None:
+        ex, ey = (
+            jax.lax.with_sharding_constraint(a, ray_sharding) for a in (ex, ey)
+        )
+    i, j = gridlib.world_to_cell((h, w), ex, ey)
+    inb = gridlib.in_bounds((h, w), i, j)
+    ic, jc = gridlib.clamp_cell((h, w), i, j)
+    d = field.edt.reshape(-1)[ic * w + jc]
+
+    p_hit = jnp.where(inb, pdf_normal(stddev, d), 0.0)
+    p = z_hit * p_hit + z_rand / rc.max_dist
+    lw = jnp.log(jnp.maximum(p, 1e-30))
+    # Max-range misses carry no endpoint information (model skip).
+    lw = jnp.where(z >= rc.max_dist, 0.0, lw)
+    return jnp.sum(lw, axis=-1)
+
+
 def particle_log_weights(
     field,
     poses: Pose,

@@ -105,3 +105,22 @@ def test_localization_ate_with_fast_backends(backend):
     )
     ate = ate_rmse(res.est_xy, res.gt_xy)
     assert ate < 6.0, f"{backend} ATE {ate}"
+
+
+def test_localization_ate_with_likelihood_field():
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=256, meas_stddev=3.0, measurement="likelihood_field"
+        ),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
+        motion=MotionConfig(alphas=(0.002, 0.002, 0.002, 0.002)),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, backend="sdf"),
+    )
+    commands = forward_arc_commands(30, trans=1.5, rot=0.12)
+    res = run_localization(
+        blocked, cfg, commands, Pose.create(40.0, 40.0, 0.3), seed=3
+    )
+    ate = ate_rmse(res.est_xy, res.gt_xy)
+    assert ate < 6.0, f"likelihood_field ATE {ate}"
