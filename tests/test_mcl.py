@@ -168,3 +168,48 @@ class TestSLAM:
         x = np.asarray(st.particles.pose.x)
         y = np.asarray(st.particles.pose.y)
         assert x.std() > 20 and y.std() > 20  # spread over the map
+
+
+def test_slam_with_likelihood_field_measurement():
+    """Full SLAM with the likelihood-field model: the dynamic map's EDT is
+    rebuilt (JFA) inside the jitted step; no raycasting in the update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MapConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Pose
+    from slam_tpu.models.simulate import (
+        forward_arc_commands,
+        run_slam,
+        synthetic_room,
+    )
+    from slam_tpu.utils.metrics import ate_rmse
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=256, meas_stddev=3.0, measurement="likelihood_field"
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
+        motion=MotionConfig(alphas=(0.002,) * 4),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, backend="sdf"),
+    )
+    res = run_slam(
+        blocked,
+        cfg,
+        forward_arc_commands(30, trans=1.5, rot=0.12),
+        Pose.create(40.0, 40.0, 0.3),
+        seed=3,
+    )
+    ate = ate_rmse(res.est_xy, res.gt_xy)
+    assert ate < 8.0, f"SLAM+LF ATE {ate}"
