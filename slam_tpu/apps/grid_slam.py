@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--trans", type=float, default=2.5)
     ap.add_argument("--mode", choices=["slam", "loc"], default="slam")
     ap.add_argument("--backend", default="sdf", choices=["march", "sdf", "lut"])
+    ap.add_argument(
+        "--measurement", default="beam", choices=["beam", "likelihood_field"]
+    )
     ap.add_argument("--n-rays", type=int, default=60)
     ap.add_argument("--max-dist", type=float, default=200.0)
     ap.add_argument("--scanner-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0))
@@ -110,6 +113,7 @@ def main(argv=None):
             n_particles=args.particles,
             meas_stddev=5.0,
             scanner_offset=tuple(args.scanner_offset),
+            measurement=args.measurement,
         ),
         map=MapConfig(height=h, width=w),
         lidar=LidarConfig(n_rays=args.n_rays, max_dist=args.max_dist, stddev=5.0),

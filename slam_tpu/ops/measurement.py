@@ -55,6 +55,84 @@ def beam_log_weights(pred_dist, hit, meas_dist, *, stddev, max_dist, eps=0.1):
     return log_pdf_normal_clamp_eps(stddev, err, eps)
 
 
+def beam_weights_probabilistic(
+    prob_occ: jax.Array,
+    poses: Pose,
+    scan: Scan,
+    *,
+    scanner_offset=(0.0, 0.0, 0.0),
+    stddev: float = 5.0,
+    max_dist: float = 500.0,
+    step: float = 0.5,
+):
+    """'Most probable along ray' beam model over an UNCERTAIN occupancy map
+    (the reference notebook's cell-10 `measurement_model_beam_probabilistic`,
+    which the C++ dropped — SURVEY.md section 2 item 23).
+
+    Marching along each beam, a cell at distance d scores
+    q = p * P(occ) * pdf_clamp(z - d) where p is the survival probability
+    (prob no earlier cell produced the return, p <- p * (1 - q)); the beam
+    weight is the max q, floored by pdf(1.5 sigma) and the max-range term.
+    The survival recurrence is sequential along the ray, so this runs as a
+    lax.scan over ray steps vectorized across [N, B] beams (K elementwise
+    passes + K gathers) — a mapping-mode scoring tool, not the fast
+    localization path.
+
+    Returns f32[N, B] beam weights (probabilities, not logs).
+    """
+    from slam_tpu.core import grid as gridlib
+    from slam_tpu.core.stats import pdf_normal, pdf_normal_clamp
+
+    h, w = prob_occ.shape
+    prob_flat = prob_occ.reshape(-1)
+    sp = sensor_pose(poses, scanner_offset)
+    angles = sp.theta[:, None] + scan.angles[None, :]  # [N, B]
+    dx = jnp.cos(angles) * step
+    dy = jnp.sin(angles) * step
+    z = scan.dists[None, :]
+
+    i0, j0 = gridlib.world_to_cell((h, w), sp.x, sp.y)
+    cell0 = (i0 * w + j0)[:, None]
+
+    k_total = int(math.ceil(max_dist / step))
+    floor = pdf_normal(stddev, 1.5 * stddev)
+
+    def body(carry, k):
+        p, best, prev_cell, alive = carry
+        d = (k + 1.0) * step
+        px = sp.x[:, None] + (k + 1.0) * dx
+        py = sp.y[:, None] + (k + 1.0) * dy
+        i, j = gridlib.world_to_cell((h, w), px, py)
+        inb = gridlib.in_bounds((h, w), i, j)
+        ic, jc = gridlib.clamp_cell((h, w), i, j)
+        cell = i * w + j
+        # The notebook breaks at the first out-of-bounds position and stops
+        # scoring before d >= z_max; `alive` carries the not-yet-broken flag.
+        score = (cell != prev_cell) & inb & alive & (d < max_dist)
+        occ = prob_flat[ic * w + jc]
+        q = jnp.where(score, p * occ * pdf_normal_clamp(stddev, z - d), 0.0)
+        best = jnp.maximum(best, q)
+        p = jnp.where(score, p * (1.0 - q), p)
+        prev_cell = jnp.where(score, cell, prev_cell)
+        alive = alive & inb
+        return (p, best, prev_cell, alive), None
+
+    init = (
+        jnp.ones_like(angles),
+        jnp.full_like(angles, floor),
+        jnp.broadcast_to(cell0, angles.shape),
+        jnp.ones(angles.shape, bool),
+    )
+    (p, best, _, alive), _ = jax.lax.scan(
+        body, init, jnp.arange(k_total, dtype=jnp.float32)
+    )
+    # Max-range term — only for rays that reached z_max inside the map.
+    best = jnp.maximum(
+        best, jnp.where(alive, p * pdf_normal_clamp(stddev, z - max_dist), 0.0)
+    )
+    return best
+
+
 def particle_log_weights_likelihood_field(
     field,
     poses: Pose,

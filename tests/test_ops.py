@@ -265,3 +265,65 @@ class TestResample:
         assert float(wf) == pytest.approx(1.0 - 0.9 * 0.5)
         assert float(resample.injection_ratio(1.0, 0.5)) == pytest.approx(0.5)
         assert float(resample.injection_ratio(1.0, 2.0)) == 0.0
+
+
+class TestProbabilisticBeamModel:
+    def test_matches_notebook_oracle(self, rng):
+        """Oracle: direct numpy port of notebook cell 10's
+        measurement_model_beam_probabilistic."""
+        import math as m
+
+        h = w = 40
+        prob_occ = rng.random((h, w)).astype(np.float32) * 0.9
+        step = 0.5
+        stddev = 2.0
+        max_dist = 25.0
+
+        def pdf(s, x):
+            return float(np.exp(-0.5 * (x / s) ** 2) / (s * np.sqrt(2 * np.pi)))
+
+        def pdf_clamp(s, x):
+            return pdf(s, x) if abs(x) <= 4 * s else 0.0
+
+        def oracle(x, y, theta, z):
+            dx, dy = m.cos(theta), m.sin(theta)
+            p = 1.0
+            best = pdf(stddev, 1.5 * stddev)
+            i_, j_ = int(np.floor(h - y - 1)), int(np.floor(x))
+            k = 0
+            while True:
+                k += 1
+                d = k * step
+                if d >= max_dist:
+                    best = max(best, p * pdf_clamp(stddev, z - max_dist))
+                    break
+                px, py = x + dx * d, y + dy * d
+                i, j = int(np.floor(h - py - 1)), int(np.floor(px))
+                if not (0 <= i < h and 0 <= j < w):
+                    break
+                if (i, j) != (i_, j_):
+                    q = p * prob_occ[i, j] * pdf_clamp(stddev, z - d)
+                    best = max(best, q)
+                    p *= 1 - q
+                    i_, j_ = i, j
+            return best
+
+        poses = Pose.create(
+            jnp.array([20.0, 10.0]), jnp.array([20.0, 12.0]), jnp.array([0.3, 2.0])
+        )
+        scan = Scan(
+            angles=jnp.array([0.0, 0.7], jnp.float32),
+            dists=jnp.array([8.0, 25.0], jnp.float32),
+        )
+        got = np.asarray(
+            measurement.beam_weights_probabilistic(
+                jnp.asarray(prob_occ), poses, scan,
+                stddev=stddev, max_dist=max_dist, step=step,
+            )
+        )
+        for n in range(2):
+            for b in range(2):
+                x = float(poses.x[n]); y = float(poses.y[n])
+                th = float(poses.theta[n]) + float(scan.angles[b])
+                want = oracle(x, y, th, float(scan.dists[b]))
+                assert got[n, b] == pytest.approx(want, rel=1e-4, abs=1e-8), (n, b)
