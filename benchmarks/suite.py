@@ -190,7 +190,11 @@ def bench_spatial(args):
     for _ in range(args.iters):
         total = int(count_all(dpx, dpy, valid, dboxes))
     q_s = (time.perf_counter() - t0) / args.iters
-    base_q = _BASELINES.get("ref_quadtree", {}).get("range_queries_per_s")
+    # Accept both key spellings: BASELINE_MEASURED.json ships
+    # 'range_queries_per_s' but ref_planners_bench.cpp historically emitted
+    # 'queries_per_s' (ADVICE r1).
+    _ref_q = _BASELINES.get("ref_quadtree", {})
+    base_q = _ref_q.get("range_queries_per_s", _ref_q.get("queries_per_s"))
     emit(
         "spatial_range_queries_per_s",
         n_boxes / q_s,

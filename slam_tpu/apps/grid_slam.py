@@ -151,11 +151,13 @@ def main(argv=None):
 
     gt_pose = start
     if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
-        # The sim's ground truth rides along so a resumed run continues the
-        # same trajectory (a real deployment would only carry `state`).
-        payload = ckpt_mgr.restore({"state": state, "gt": gt_pose})
+        # The sim's ground truth AND the host loop key ride along so a
+        # resumed run continues the same trajectory and noise stream as an
+        # uninterrupted one (a real deployment would only carry `state`).
+        payload = ckpt_mgr.restore({"state": state, "gt": gt_pose, "key": key})
         state = payload["state"]
         gt_pose = payload["gt"]
+        key = payload["key"]
         start_step = int(ckpt_mgr.latest_step()) + 1
         print(f"resumed from step {start_step - 1}")
     frames, est_xy, gt_xy = [], [], []
@@ -195,7 +197,7 @@ def main(argv=None):
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
 
         if ckpt_mgr is not None and (t + 1) % args.checkpoint_every == 0:
-            ckpt_mgr.save(t, {"state": state, "gt": gt_pose})
+            ckpt_mgr.save(t, {"state": state, "gt": gt_pose, "key": key})
 
         if t % args.frame_every == 0:
             if args.mode == "slam":

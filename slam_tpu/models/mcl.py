@@ -101,6 +101,12 @@ def update(
     pins the [N, B] ray batch to a device mesh (see slam_tpu.parallel).
     """
     field = rayfield.as_ray_field(field, rc)
+    if cfg.measurement == "likelihood_field" and field.edt is None:
+        raise ValueError(
+            "measurement='likelihood_field' needs a distance transform: use "
+            "RaycastConfig(backend='sdf') or build the RayField with an EDT "
+            f"(got backend={rc.backend!r})"
+        )
     if cfg.measurement == "likelihood_field":
         lw = measurement.particle_log_weights_likelihood_field(
             field,

@@ -86,7 +86,14 @@ def step(
     n = log_weight.shape[0]
     new_pose = jax.tree.map(lambda a: a[idx], pose)
     new_maps = new_maps[idx]
-    best_map_idx = jnp.argmax(idx == best_idx)  # a surviving copy of best
+    # A surviving copy of the best particle; under multinomial resampling the
+    # best particle can draw zero copies, in which case fall back to the
+    # highest-weight particle that DID survive (ADVICE r1).
+    best_map_idx = jnp.where(
+        jnp.any(idx == best_idx),
+        jnp.argmax(idx == best_idx),
+        jnp.argmax(log_weight[idx]),
+    )
 
     return RBPFState(
         particles=Particles(

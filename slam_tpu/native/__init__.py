@@ -128,18 +128,24 @@ def erode_disc(binary, radius: int):
 
 
 def _py_raycast(blocked, h, w, x, y, theta, step, max_dist):
-    dx = np.cos(theta) * step
-    dy = np.sin(theta) * step
-    prev = int(np.floor(h - y - 1.0)) * w + int(np.floor(x))
-    d = 0.0
+    # p_k = origin + k*step*dir (NOT additive accumulation) so positions
+    # match raycast_one in native/slam_native.cpp and the vectorized
+    # backends bit-for-bit on long rays (ADVICE r1).
+    dx = np.float32(np.cos(theta) * step)
+    dy = np.float32(np.sin(theta) * step)
+    x0, y0 = np.float32(x), np.float32(y)
+    prev = int(np.floor(h - y0 - 1.0)) * w + int(np.floor(x0))
+    step32 = np.float32(step)
+    k = 0
     while True:
-        x += dx
-        y += dy
-        d += step
+        k += 1
+        d = float(step32 * np.float32(k))
         if d >= max_dist:
             return max_dist, 0
-        i = int(np.floor(h - y - 1.0))
-        j = int(np.floor(x))
+        px = np.float32(x0 + dx * k)
+        py = np.float32(y0 + dy * k)
+        i = int(np.floor(h - py - 1.0))
+        j = int(np.floor(px))
         if not (0 <= i < h and 0 <= j < w):
             return max_dist, 0
         cell = i * w + j

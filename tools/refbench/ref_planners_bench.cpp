@@ -113,7 +113,7 @@ static void bench_quadtree(int iters)
     const double query_s = secs_since(t0) / iters;
 
     printf("{\"bench\": \"ref_quadtree\", \"iters\": %d, "
-           "\"insert_pts_per_s\": %.0f, \"queries_per_s\": %.0f, "
+           "\"insert_pts_per_s\": %.0f, \"range_queries_per_s\": %.0f, "
            "\"total_hits\": %zu}\n",
            iters, n_points / insert_s, n_boxes / query_s, total);
 }
