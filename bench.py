@@ -60,7 +60,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from slam_tpu.core.config import LidarConfig, MCLConfig, RaycastConfig
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MCLConfig,
+        RaycastConfig,
+        beam_bin_stride,
+    )
     from slam_tpu.core.types import Odometry, Pose
     from slam_tpu.models import fake_lidar, mcl as mcl_mod
     from slam_tpu.ops import rayfield
@@ -80,6 +85,9 @@ def main():
         meas_stddev=5.0,
         scanner_offset=(0.0, 30.0, 0.0),
         measurement=args.measurement,
+        # 90 beams over pi at 360 bins -> stride 2: enables the fused
+        # panorama path (one row gather per particle, MXU bin alignment).
+        lut_beam_stride=beam_bin_stride(lidar, rc),
     )
 
     pose = Pose.create(400.0, 400.0, np.pi)

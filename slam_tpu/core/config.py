@@ -138,6 +138,24 @@ class MCLConfig:
     # SCANNER_OFFSET = {0, 30, 0}).
     scanner_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     adaptive: Optional[AdaptiveConfig] = None
+    # STATIC promise that scan beam angles are evenly spaced by exactly this
+    # many LUT bins (derive with `beam_bin_stride(lidar, rc)`). Unlocks the
+    # fused panorama measurement path on the lut backend: one contiguous row
+    # gather per particle + MXU bin alignment instead of one scalar gather
+    # per ray. None = general per-ray path.
+    lut_beam_stride: Optional[int] = None
+
+
+def beam_bin_stride(lidar: "LidarConfig", rc: "RaycastConfig") -> Optional[int]:
+    """Beam angular spacing measured in LUT bins, when it is an exact
+    positive integer (the precondition of the fused panorama measurement
+    path); None otherwise."""
+    spacing = (lidar.stop - lidar.start) / lidar.n_rays
+    g = spacing * rc.lut_bins / (2.0 * math.pi)
+    gi = round(g)
+    if gi >= 1 and abs(g - gi) < 1e-9 and lidar.n_rays * gi <= rc.lut_bins:
+        return gi
+    return None
 
 
 @dataclasses.dataclass(frozen=True)

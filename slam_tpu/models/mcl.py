@@ -92,6 +92,7 @@ def update(
     cfg: MCLConfig,
     rc: RaycastConfig,
     ray_sharding=None,
+    resample_fn=None,
 ) -> MCLState:
     """Weight against one scan, then (conditionally) resample.
 
@@ -99,6 +100,9 @@ def update(
     (static map, localization mode) or a raw bool[H, W] mask (wrapped on the
     fly; SLAM mode passes thresholded log-odds). `ray_sharding` optionally
     pins the [N, B] ray batch to a device mesh (see slam_tpu.parallel).
+    `resample_fn(key, particles) -> particles` overrides the selection step
+    (the sharded engines pass the reduce-scatter resampler from
+    slam_tpu.parallel.resample).
     """
     field = rayfield.as_ray_field(field, rc)
     if cfg.measurement == "likelihood_field" and field.edt is None:
@@ -129,10 +133,16 @@ def update(
             stddev=cfg.meas_stddev,
             eps=cfg.meas_epsilon,
             ray_sharding=ray_sharding,
+            lut_beam_stride=cfg.lut_beam_stride,
         )
     log_weight = state.particles.log_weight + lw
-    best_idx = jnp.argmax(log_weight)
-    best_pose = jax.tree.map(lambda a: a[best_idx], state.particles.pose)
+    # Best particle via a one-hot masked sum, NOT a dynamic index: a[argmax]
+    # on a sharded particle axis makes GSPMD all-gather the whole array to
+    # slice one element; the masked sum lowers to a psum.
+    best_sel = jnp.arange(log_weight.shape[0]) == jnp.argmax(log_weight)
+    best_pose = jax.tree.map(
+        lambda a: jnp.sum(jnp.where(best_sel, a, 0.0)), state.particles.pose
+    )
     particles = state.particles.replace(log_weight=log_weight)
 
     key, k_rs, k_inj = jax.random.split(state.key, 3)
@@ -143,6 +153,8 @@ def update(
     n = particles.n
 
     def do_resample(p):
+        if resample_fn is not None:
+            return resample_fn(k_rs, p)
         return resample.resample(k_rs, p, cfg.resample)
 
     particles = jax.lax.cond(

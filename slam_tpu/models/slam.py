@@ -48,12 +48,19 @@ def step(
     scan: Scan,
     cfg: SLAMConfig,
     ray_sharding=None,
+    resample_fn=None,
 ) -> SLAMState:
     """One full SLAM step (predict + update + map + resample)."""
     st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
     blocked = gridlib.blocked_from_logodds(state.grid)
     st = mcl_mod.update(
-        st, scan, blocked, cfg.mcl, cfg.raycast, ray_sharding=ray_sharding
+        st,
+        scan,
+        blocked,
+        cfg.mcl,
+        cfg.raycast,
+        ray_sharding=ray_sharding,
+        resample_fn=resample_fn,
     )
 
     # Map from the best particle's pose (the reference renders/keeps the best

@@ -42,8 +42,13 @@ def build_beam_lut(
     max_dist: float = 500.0,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """[n_bins, H, W] distance-to-obstacle table (values capped just above
-    max_dist so queries >= max_dist read as misses)."""
+    """[H, W, n_bins] distance-to-obstacle table (values capped just above
+    max_dist so queries >= max_dist read as misses).
+
+    Bins-LAST layout: all bins of one cell are contiguous, so a particle
+    whose beams all originate at the same cell reads ONE contiguous row
+    (see `panorama_rows` / the fused measurement path) instead of n_beams
+    scattered elements."""
     h, w = blocked.shape
     d = int(math.ceil(math.hypot(h, w))) + 2
     cap = jnp.float32(max_dist * 1.25)
@@ -99,7 +104,14 @@ def build_beam_lut(
         vi = jnp.clip(jnp.round(v_q).astype(jnp.int32), 0, d - 1)
         return run[ui, vi].astype(dtype)
 
-    return jax.lax.map(one_bin, jnp.arange(n_bins, dtype=jnp.int32))
+    per_bin = jax.lax.map(one_bin, jnp.arange(n_bins, dtype=jnp.int32))
+    return jnp.moveaxis(per_bin, 0, -1)  # [n_bins, H, W] -> [H, W, n_bins]
+
+
+def angle_bin(theta, n_bins: int):
+    """Angular bin of a ray direction (round-to-nearest, wrapped)."""
+    two_pi = 2.0 * jnp.pi
+    return jnp.round(theta / (two_pi / n_bins)).astype(jnp.int32) % n_bins
 
 
 def raycast_lut(
@@ -112,19 +124,39 @@ def raycast_lut(
 ):
     """Query the table: one gather per ray. Returns (dist, hit) with the
     march/march-sdf conventions (miss -> dist == max_dist, hit == False)."""
-    n_bins, h, w = lut.shape
+    h, w, n_bins = lut.shape
     x, y, theta = jnp.broadcast_arrays(
         jnp.asarray(x, jnp.float32),
         jnp.asarray(y, jnp.float32),
         jnp.asarray(theta, jnp.float32),
     )
-    two_pi = 2.0 * jnp.pi
-    b = jnp.round(theta / (two_pi / n_bins)).astype(jnp.int32) % n_bins
+    b = angle_bin(theta, n_bins)
     i, j = gridlib.world_to_cell((h, w), x, y)
     inb = gridlib.in_bounds((h, w), i, j)
     ic, jc = gridlib.clamp_cell((h, w), i, j)
     # Flat 1D indexing: XLA lowers it ~20% faster than the 3D gather form.
-    d = lut.reshape(-1)[(b * h + ic) * w + jc].astype(jnp.float32)
+    d = lut.reshape(-1)[(ic * w + jc) * n_bins + b].astype(jnp.float32)
     hit = (d < max_dist) & inb
     dist = jnp.where(hit, d, max_dist)
     return dist, hit
+
+
+def panorama_rows(lut: jax.Array, x: jax.Array, y: jax.Array):
+    """All-bins distance row for each query position: ONE row-slice gather
+    per query instead of one scalar gather per (query, beam).
+
+    This is the hot-kernel restructuring for MCL: every beam of a particle
+    originates at the same sensor cell (`slam/mcl.cpp:60-75` shifts the pose
+    once, then loops beams), so the [N, B] scalar-gather wall becomes [N]
+    contiguous row reads of the bins-last table.
+
+    Returns (pano f32-convertible [..., n_bins], inb bool[...]).
+    """
+    h, w, n_bins = lut.shape
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    i, j = gridlib.world_to_cell((h, w), x, y)
+    inb = gridlib.in_bounds((h, w), i, j)
+    ic, jc = gridlib.clamp_cell((h, w), i, j)
+    pano = lut.reshape(h * w, n_bins)[ic * w + jc]
+    return pano, inb

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from slam_tpu.core.config import RaycastConfig
 from slam_tpu.core.stats import log_pdf_normal_clamp_eps
 from slam_tpu.core.types import Pose, Scan
+from slam_tpu.ops import lut as lutlib
 from slam_tpu.ops.rayfield import as_ray_field, raycast_field
 
 
@@ -186,6 +187,91 @@ def particle_log_weights_likelihood_field(
     return jnp.sum(lw, axis=-1)
 
 
+def particle_log_weights_lut_fused(
+    field,
+    poses: Pose,
+    scan: Scan,
+    *,
+    rc: RaycastConfig,
+    beam_stride: int,
+    scanner_offset=(0.0, 0.0, 0.0),
+    stddev: float = 5.0,
+    eps: float = 0.1,
+    ray_sharding=None,
+):
+    """Fused beam-model weights via LUT panorama rows — the TPU hot kernel.
+
+    Replaces the N_particles x N_beams scalar-gather query of the beam LUT
+    (the round-1 112 ms/step floor at 100k particles) with:
+
+      1. ONE contiguous row gather per particle — all bins of the sensor
+         cell (`slam_tpu.ops.lut.panorama_rows`); valid because every beam
+         of a particle shares its origin cell (`slam/mcl.cpp:60-75`).
+      2. A dense bin->beam alignment. `beam_stride` g is the STATIC promise
+         that beam angles are evenly spaced by exactly g bins; then beam k's
+         bin is (s_n + g*k) mod n_bins with s_n = round((theta_n + a_0)/w) —
+         EXACTLY the per-beam rounding of `raycast_lut` (g*k is an integer,
+         so it commutes through round). Writing s_n = g*q_n + r_n, beam k
+         lands at position (q_n + k) mod M of the stride-g comb r_n
+         (M = n_bins/g): selecting r_n is a one-hot contraction over g, and
+         aligning the measured ranges to positions is a one-hot [N, M] @
+         [M, 2M] matmul against a table of all M rolls of the scan — MXU
+         work instead of gathers.
+      3. The same clamped-Gaussian beam log-pdf + reduce as the general
+         path (`slam/raycast.cpp:225-242` semantics).
+    """
+    lut = field.lut
+    if lut is None:
+        raise ValueError("lut-fused measurement needs field.lut")
+    h, w, n_bins = lut.shape
+    g = int(beam_stride)
+    if g < 1 or n_bins % g != 0:
+        raise ValueError(f"beam_stride {g} must divide lut bins {n_bins}")
+    m = n_bins // g
+    b_beams = scan.angles.shape[0]
+    if b_beams > m:
+        raise ValueError(
+            f"{b_beams} beams at stride {g} exceed {m} distinct positions"
+        )
+    binw = 2.0 * jnp.pi / n_bins
+
+    sp = sensor_pose(poses, scanner_offset)
+    s = jnp.round((sp.theta + scan.angles[0]) / binw).astype(jnp.int32) % n_bins
+    q = s // g
+    r = s % g
+
+    pano, inb = lutlib.panorama_rows(lut, sp.x, sp.y)  # [N, n_bins]
+    if ray_sharding is not None:
+        pano = jax.lax.with_sharding_constraint(pano, ray_sharding)
+
+    # Comb select: position p of comb r_n is bin g*p + r_n.
+    oh_r = jax.nn.one_hot(r, g, dtype=pano.dtype)  # [N, g]
+    pred = jnp.einsum(
+        "npg,ng->np", pano.reshape(-1, m, g), oh_r
+    ).astype(jnp.float32)  # [N, M]
+
+    # Align measured ranges/validity to positions: beam k sits at position
+    # (q_n + k) mod M, so position p holds beam (p - q_n) mod M. All M rolls
+    # of the (padded) scan are one tiny static table; selecting particle n's
+    # roll is a one-hot matmul (MXU, no gathers).
+    pad = (0, m - b_beams)
+    ztab = jnp.pad(jnp.asarray(scan.dists, jnp.float32), pad)  # [M]
+    vtab = jnp.pad(jnp.ones((b_beams,), jnp.float32), pad)  # [M]
+    mm = jnp.arange(m)
+    roll_idx = (mm[None, :] - mm[:, None]) % m  # [Q, p] -> beam k
+    zv_rolls = jnp.concatenate(
+        [ztab[roll_idx], vtab[roll_idx]], axis=1
+    )  # [M, 2M]
+    oh_q = jax.nn.one_hot(q, m, dtype=jnp.float32)  # [N, M]
+    zv = jnp.dot(oh_q, zv_rolls, preferred_element_type=jnp.float32)
+    z_at, valid = zv[:, :m], zv[:, m:]
+
+    hit = (pred < rc.max_dist) & inb[:, None]
+    err = jnp.where(hit, pred - z_at, z_at - rc.max_dist)
+    lw = log_pdf_normal_clamp_eps(stddev, err, eps) * valid
+    return jnp.sum(lw, axis=-1)
+
+
 def particle_log_weights(
     field,
     poses: Pose,
@@ -196,6 +282,7 @@ def particle_log_weights(
     stddev: float = 5.0,
     eps: float = 0.1,
     ray_sharding=None,
+    lut_beam_stride=None,
 ):
     """Log measurement likelihood of every particle given one scan.
 
@@ -214,6 +301,22 @@ def particle_log_weights(
       exp-sum weight).
     """
     field = as_ray_field(field, rc)
+    if (
+        lut_beam_stride is not None
+        and rc.backend == "lut"
+        and field.lut is not None
+    ):
+        return particle_log_weights_lut_fused(
+            field,
+            poses,
+            scan,
+            rc=rc,
+            beam_stride=lut_beam_stride,
+            scanner_offset=scanner_offset,
+            stddev=stddev,
+            eps=eps,
+            ray_sharding=ray_sharding,
+        )
     sp = sensor_pose(poses, scanner_offset)
     angles = sp.theta[:, None] + scan.angles[None, :]  # [N, B]
     px = jnp.broadcast_to(sp.x[:, None], angles.shape)

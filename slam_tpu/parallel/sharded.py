@@ -25,6 +25,18 @@ from slam_tpu.core.config import MCLConfig, RaycastConfig, SLAMConfig
 from slam_tpu.core.types import Odometry, Pose, Scan
 from slam_tpu.models import mcl as mcl_mod
 from slam_tpu.models import slam as slam_mod
+from slam_tpu.parallel import resample as dist_resample
+
+
+def _resample_fn(mesh: Mesh, cfg: MCLConfig):
+    """Reduce-scatter systematic resampler for the sharded engines (no
+    [N]-sized all-gather; see slam_tpu.parallel.resample). Multinomial
+    fidelity mode keeps the general GSPMD path."""
+    if cfg.resample != "systematic":
+        return None
+    return lambda key, p: dist_resample.systematic_resample_sharded(
+        mesh, key, p
+    )
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:
@@ -76,10 +88,11 @@ class ShardedMCL:
         self.cfg = cfg
         self.rc = rc
         rs = ray_sharding(mesh)
+        rfn = _resample_fn(mesh, cfg)
         self._predict = jax.jit(mcl_mod.predict)
         self._update = jax.jit(
             lambda s, scan, blocked: mcl_mod.update(
-                s, scan, blocked, cfg, rc, ray_sharding=rs
+                s, scan, blocked, cfg, rc, ray_sharding=rs, resample_fn=rfn
             )
         )
 
@@ -107,8 +120,11 @@ class ShardedGridSLAM:
         self.mesh = mesh
         self.cfg = cfg
         rs = ray_sharding(mesh)
+        rfn = _resample_fn(mesh, cfg.mcl)
         self._step = jax.jit(
-            lambda s, o, z: slam_mod.step(s, o, z, cfg, ray_sharding=rs)
+            lambda s, o, z: slam_mod.step(
+                s, o, z, cfg, ray_sharding=rs, resample_fn=rfn
+            )
         )
         self._predict = jax.jit(
             lambda s, o: slam_mod.predict_only(s, o, cfg)

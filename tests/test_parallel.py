@@ -101,6 +101,77 @@ def test_distributed_helpers_single_process():
     np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
 
 
+class TestShardedResample:
+    """Reduce-scatter systematic resampler (parallel/resample.py): selection
+    must be index-exact vs the single-device path, including degenerate
+    weight distributions that route every slot across shard boundaries."""
+
+    def _check(self, mesh, log_w, key):
+        from slam_tpu.core.types import Particles
+        from slam_tpu.ops import resample as rs
+        from slam_tpu.parallel.resample import systematic_resample_sharded
+
+        n = log_w.shape[0]
+        pose = Pose(
+            x=jnp.arange(n, dtype=jnp.float32),
+            y=jnp.arange(n, dtype=jnp.float32) * 2.0,
+            theta=jnp.arange(n, dtype=jnp.float32) * 1e-3,
+        )
+        p = Particles(pose=pose, log_weight=log_w)
+        ref = rs.resample(key, p, "systematic")
+        got = systematic_resample_sharded(mesh, key, p)
+        for fld in ("x", "y", "theta"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.pose, fld)),
+                np.asarray(getattr(ref.pose, fld)),
+            )
+        # Output must still be sharded over 'p'.
+        assert got.pose.x.sharding.shard_shape((n,))[0] < n
+
+    @pytest.mark.parametrize("beam_axis", [1, 2])
+    def test_exact_match(self, beam_axis):
+        mesh = make_mesh(8, beam_axis=beam_axis)
+        key = jax.random.key(5)
+        n = 512
+        self._check(mesh, jax.random.normal(jax.random.key(1), (n,)) * 6.0, key)
+
+    def test_degenerate_weights(self):
+        mesh = make_mesh(8, beam_axis=1)
+        key = jax.random.key(9)
+        n = 512
+        for lw in (
+            jnp.full((n,), -50.0).at[300].set(10.0),  # all mass on one
+            jnp.full((n,), -50.0).at[0].set(10.0),
+            jnp.full((n,), -50.0).at[n - 1].set(10.0),
+            jnp.zeros((n,)),
+            jnp.where(jnp.arange(n) >= n - 64, 0.0, -40.0),  # last shard only
+        ):
+            self._check(mesh, lw, key)
+
+    def test_update_hlo_has_no_large_all_gather(self):
+        """The VERDICT r1 item 4 acceptance: the sharded MCL update compiles
+        with NO [N]-sized all-gather — resampling exchanges state via
+        reduce-scatter, best-pose extraction via masked psum; the only
+        all-gathers left are [D]-sized shard reductions."""
+        import re
+
+        blocked, pose, scan, rc = _scene()
+        n = 4096
+        cfg = MCLConfig(n_particles=n)
+        mesh = make_mesh(8, beam_axis=1)
+        from slam_tpu.parallel import ShardedMCL as SM
+
+        m = SM(mesh, cfg, rc)
+        st = m.init(H, W)
+        txt = m._update.lower(st, scan, blocked).compile().as_text()
+        for line in txt.splitlines():
+            mt = re.search(r"= \w+\[([\d,]*)\][^ ]* all-gather\(", line)
+            if mt:
+                dims = [int(d) for d in mt.group(1).split(",") if d]
+                size = int(np.prod(dims)) if dims else 1
+                assert size <= 8 * 16, f"large all-gather in HLO: {line[:160]}"
+
+
 def test_sharded_mcl_with_lut_backend():
     """The LUT table rides along as a replicated array in the sharded path."""
     from slam_tpu.core.config import MCLConfig, RaycastConfig

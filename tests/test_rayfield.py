@@ -87,17 +87,97 @@ class TestLut:
         assert bool(h) and abs(float(d) - 28.0) < 2.0
 
 
-@pytest.mark.parametrize("backend", ["sdf", "lut"])
+class TestLutFusedMeasurement:
+    """The panorama-fused beam model must reproduce the general per-ray LUT
+    path (same binning, same pdf) — it only restructures the gathers."""
+
+    @pytest.mark.parametrize(
+        "n_rays,span,lut_bins",
+        [
+            (24, 2 * np.pi, 96),  # stride 4, beams fill all positions
+            (24, np.pi, 96),  # stride 2, half the positions valid
+            (90, np.pi, 360),  # the reference benchmark geometry (stride 2)
+        ],
+    )
+    def test_matches_general_path(self, rng, n_rays, span, lut_bins):
+        import jax
+
+        from slam_tpu.core.config import beam_bin_stride
+        from slam_tpu.models import fake_lidar
+        from slam_tpu.ops import measurement, rayfield
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        rc = RaycastConfig(step=0.5, max_dist=80.0, backend="lut", lut_bins=lut_bins)
+        lidar = LidarConfig(start=0.0, stop=span, n_rays=n_rays, max_dist=80.0)
+        stride = beam_bin_stride(lidar, rc)
+        assert stride is not None
+        field = rayfield.make_ray_field(blocked, rc)
+        scan = fake_lidar.scan(
+            blocked, Pose.create(40.0, 48.0, 0.7), lidar, rc
+        )
+
+        n = 512
+        xs = jnp.asarray(rng.uniform(-5, w + 5, n), jnp.float32)  # incl. OOB
+        ys = jnp.asarray(rng.uniform(-5, h + 5, n), jnp.float32)
+        ths = jnp.asarray(rng.uniform(-9, 9, n), jnp.float32)
+        poses = Pose(x=xs, y=ys, theta=ths)
+        offset = (0.0, 3.0, 0.1)
+
+        kw = dict(rc=rc, scanner_offset=offset, stddev=4.0, eps=0.1)
+        lw_gen = measurement.particle_log_weights(field, poses, scan, **kw)
+        lw_fused = measurement.particle_log_weights(
+            field, poses, scan, lut_beam_stride=stride, **kw
+        )
+        diff = np.abs(np.asarray(lw_gen) - np.asarray(lw_fused))
+        # Same bins, same pdf — agreement to f32 reduction-order noise,
+        # except where a bin rounds differently by 1 ulp of the angle
+        # arithmetic (a measure-zero tie event).
+        assert np.median(diff) < 1e-4
+        assert (diff < 1e-3).mean() > 0.99
+
+    def test_stride_helper(self):
+        from slam_tpu.core.config import beam_bin_stride
+
+        rc = RaycastConfig(backend="lut", lut_bins=360)
+        assert beam_bin_stride(LidarConfig(0.0, np.pi, n_rays=90), rc) == 2
+        assert beam_bin_stride(LidarConfig(0.0, 2 * np.pi, n_rays=90), rc) == 4
+        # Non-integer spacing -> no fused path.
+        assert beam_bin_stride(LidarConfig(0.0, 1.0, n_rays=7), rc) is None
+        # More beams than bins -> no fused path.
+        assert (
+            beam_bin_stride(
+                LidarConfig(0.0, 2 * np.pi, n_rays=720), rc
+            )
+            is None
+        )
+
+
+@pytest.mark.parametrize("backend", ["sdf", "lut", "lut_fused"])
 def test_localization_ate_with_fast_backends(backend):
+    from slam_tpu.core.config import beam_bin_stride
+
     h = w = 128
     blocked = jnp.asarray(synthetic_room(h, w))
+    rc = RaycastConfig(
+        step=1.0,
+        max_dist=60.0,
+        chunk=16,
+        backend="lut" if backend == "lut_fused" else backend,
+        lut_bins=96 if backend == "lut_fused" else 256,
+    )
+    lidar = LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0)
+    stride = None
+    if backend == "lut_fused":
+        stride = beam_bin_stride(lidar, rc)
+        assert stride == 4
     cfg = SLAMConfig(
-        mcl=MCLConfig(n_particles=256, meas_stddev=3.0),
-        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
-        motion=MotionConfig(alphas=(0.002, 0.002, 0.002, 0.002)),
-        raycast=RaycastConfig(
-            step=1.0, max_dist=60.0, chunk=16, backend=backend, lut_bins=256
+        mcl=MCLConfig(
+            n_particles=256, meas_stddev=3.0, lut_beam_stride=stride
         ),
+        lidar=lidar,
+        motion=MotionConfig(alphas=(0.002, 0.002, 0.002, 0.002)),
+        raycast=rc,
     )
     commands = forward_arc_commands(30, trans=1.5, rot=0.12)
     res = run_localization(
