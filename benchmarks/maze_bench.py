@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Big-map benchmark: MCL on the reference's maze (2354x2464 px).
+
+Round-1 status: sphere tracing (sdf) ran 2.2 s/step at 10k particles —
+grazing rays in long corridors are its worst case — and a bf16 dense LUT at
+360 bins (~4.2 GB) was written off as infeasible. The round-2 answer is the
+bins-LAST dense table + panorama-fused measurement (see slam_tpu.ops.lut):
+the per-step cost is one 360-byte row read per particle regardless of map
+size, and the u8 fixed-point table (2.1 GB at 360 bins) halves HBM vs bf16
+so maze-scale maps fit comfortably. CDDT's compressed probes (binary
+searches -> gather chains) would be SLOWER on TPU than the dense row read;
+dense + quantized is the TPU-idiomatic form of that trade.
+
+Emits JSON lines:
+  maze_mcl_step_ms_10k      — full predict+update+resample step latency
+  maze_localization_ate_px  — closed-loop tracking ATE (60 steps)
+  maze_lut_build_s          — one-off table build time
+
+Usage: python benchmarks/maze_bench.py [--particles 10000] [--dtype u8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def find_start(blocked: np.ndarray) -> tuple[float, float]:
+    """A free cell with good clearance near the map center (maze corridors
+    are narrow; pick the most open spot in the central region)."""
+    from slam_tpu.native import erode_disc
+
+    free = ~blocked
+    r = 0
+    best = free
+    while True:
+        nxt = erode_disc(~blocked, r + 2).astype(bool)
+        if not nxt.any():
+            break
+        best, r = nxt, r + 2
+    ii, jj = np.nonzero(best)
+    h, w = blocked.shape
+    k = np.argmin((ii - h / 2) ** 2 + (jj - w / 2) ** 2)
+    i, j = int(ii[k]), int(jj[k])
+    return float(j) + 0.5, float(h - i) - 0.5  # world coords
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="u8", choices=["u8", "bf16"])
+    ap.add_argument("--bins", type=int, default=360)
+    ap.add_argument("--quality-steps", type=int, default=60)
+    ap.add_argument("--map", default="/root/reference/assets/maze.png")
+    ap.add_argument("--size", type=int, default=2400,
+                    help="synthetic-maze side when --map is missing")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+        beam_bin_stride,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod, simulate
+    from slam_tpu.ops import rayfield
+    from slam_tpu.utils.metrics import ate_rmse
+
+    if os.path.exists(args.map):
+        from slam_tpu.utils.maps import load_binary_map
+
+        blocked_np = load_binary_map(args.map) == 0
+    else:  # synthetic stand-in maze
+        h = w = args.size
+        rng = np.random.default_rng(0)
+        blocked_np = np.zeros((h, w), bool)
+        blocked_np[::40, :] = True
+        blocked_np[:, ::40] = True
+        for i in range(0, h, 40):  # knock doors
+            for j in range(0, w, 40):
+                if rng.random() < 0.7:
+                    blocked_np[i, j + 8 : j + 32] = False
+                if rng.random() < 0.7:
+                    blocked_np[i + 8 : i + 32, j] = False
+        blocked_np[[0, -1], :] = True
+        blocked_np[:, [0, -1]] = True
+    h, w = blocked_np.shape
+    blocked = jnp.asarray(blocked_np)
+
+    lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
+    rc = RaycastConfig(
+        step=0.5,
+        max_dist=500.0,
+        backend="lut",
+        lut_bins=args.bins,
+        lut_dtype=args.dtype,
+    )
+    cfg = MCLConfig(
+        n_particles=args.particles,
+        meas_stddev=5.0,
+        lut_beam_stride=beam_bin_stride(lidar, rc),
+    )
+
+    def fence(x):
+        np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[:1])
+
+    t0 = time.perf_counter()
+    field = rayfield.make_ray_field(
+        blocked, rc, cache_dir=os.path.join(os.path.dirname(__file__), "..", ".build", "lut_cache")
+    )
+    fence(field.lut)
+    build_s = time.perf_counter() - t0
+    gib = field.lut.size * field.lut.dtype.itemsize / 2**30
+    print(
+        f"# LUT [{h}x{w}x{args.bins}] {args.dtype} = {gib:.2f} GiB, "
+        f"built in {build_s:.1f}s",
+        file=sys.stderr,
+    )
+
+    sx, sy = find_start(blocked_np)
+    pose = Pose.create(sx, sy, 0.9)
+    scan = fake_lidar.scan(blocked, pose, lidar, RaycastConfig(max_dist=500.0))
+    odom = Odometry.create(0.05, 1.0, 0.05)
+    alphas = jnp.asarray((5e-4, 5e-4, 1e-2, 1e-2))
+
+    @jax.jit
+    def step(state, field, scan):
+        st = mcl_mod.predict(state, odom, alphas)
+        return mcl_mod.update(st, scan, field, cfg, rc)
+
+    state = mcl_mod.init(jax.random.key(0), args.particles, pose)
+    for _ in range(3):
+        state = step(state, field, scan)
+    fence(state.particles.log_weight)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state = step(state, field, scan)
+    fence(state.particles.log_weight)
+    step_ms = (time.perf_counter() - t0) / args.iters * 1e3
+
+    # Closed-loop quality: tight arc inside the corridor around the start.
+    slam_cfg = SLAMConfig(
+        mcl=cfg,
+        lidar=lidar,
+        motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+        raycast=rc,
+    )
+    commands = simulate.forward_arc_commands(
+        args.quality_steps, trans=1.2, rot=0.25
+    )
+    res = simulate.run_localization(
+        blocked, slam_cfg, commands, pose, seed=1, field=field
+    )
+    ate = ate_rmse(res.est_xy, res.gt_xy)
+
+    for metric, value, unit in (
+        (f"maze_mcl_step_ms_{args.particles // 1000}k", step_ms, "ms"),
+        ("maze_localization_ate_px", float(ate), "px"),
+        ("maze_lut_build_s", build_s, "s"),
+    ):
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(value, 3), "unit": unit}
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,10 +78,25 @@ def bench_hastar(args):
         velocity=vel,
         max_steering=steer,
         length=vel * math.tan(steer) / (10 * math.pi / 180),
-        theta_res=5,
+        # Lattice mode snaps headings to bin centers, so bins must be no
+        # wider than ~the 10-deg per-edge heading change (36 bins); the
+        # continuous mode keeps the reference benchmark's theta_res=5
+        # (`benchmark/hastar.cpp:14`). Same vehicle, start, goal, tol —
+        # the finer discretization makes OUR search space 7x larger.
+        theta_res=(
+            args.hastar_tres
+            or (36 if args.hastar_mode == "lattice" else 5)
+        ),
         branching_factor=3,
         tol=5.0,
-        batch=args.hastar_batch,
+        # Lattice rounds are [S]-pass-dominated (no raycasts), so a much
+        # larger pop batch cuts round count nearly for free.
+        batch=(
+            args.hastar_batch
+            if args.hastar_mode == "continuous"
+            else max(args.hastar_batch, 4096)
+        ),
+        mode=args.hastar_mode,
     )
     # Edge feasibility via the directional LUT: one gather per edge. The
     # table is built once per map (construct-once + reset_query, exactly the
@@ -101,15 +116,10 @@ def bench_hastar(args):
     oks = [run()[0] for _ in range(args.iters)]
     dt = (time.perf_counter() - t0) / args.iters
     base = _BASELINES.get("ref_hastar", {}).get("pathfind_ms")
-    emit(
-        "hastar_pathfind_ms",
-        dt * 1e3,
-        "ms",
-        None,
-        f"success={all(oks)}; C++ ref {base} ms -> speedup {base / (dt * 1e3):.2f}x"
-        if base
-        else f"success={all(oks)}",
-    )
+    note = f"success={all(oks)}; mode={cfg.mode}; cost={p.path_cost():.0f}"
+    if base:
+        note += f"; C++ ref {base} ms -> speedup {base / (dt * 1e3):.2f}x"
+    emit("hastar_pathfind_ms", dt * 1e3, "ms", None, note)
 
 
 def bench_rrtstar(args):
@@ -223,6 +233,10 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hastar-batch", type=int, default=512)
+    ap.add_argument(
+        "--hastar-mode", default="continuous", choices=["continuous", "lattice"]
+    )
+    ap.add_argument("--hastar-tres", type=int, default=None)
     ap.add_argument("--rrt-batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

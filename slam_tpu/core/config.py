@@ -28,6 +28,10 @@ class RaycastConfig:
     chunk: int = 64
     # Angular bins for the "lut" backend.
     lut_bins: int = 360
+    # Table element type: "bf16" (default) or "u8" (fixed-point, half the
+    # HBM — the dense-table answer to CDDT compression for huge maps; adds
+    # +-max_dist*1.25/510 quantization error, ~1.2px at max_dist=500).
+    lut_dtype: str = "bf16"
     # Safety margin subtracted from EDT steps in the "sdf" backend (>= 1.5
     # when the EDT comes from JFA, 1.0 for the exact transform).
     sdf_margin: float = 1.5
@@ -200,6 +204,19 @@ class HybridAStarConfig:
     # "euclid" keeps reference behavior.
     heuristic: str = "geodesic"
     coarse: int = 4
+    # Expansion mode: "continuous" tracks the exact entrant pose per cuboid
+    # cell (the reference's semantics, `slam/hastar.cpp:168-204`);
+    # "lattice" snaps every state to its cell/bin center, which makes the
+    # steering adjacency a fixed per-bin index/cost table and turns edge
+    # collision checks into precomputed shifted-AND feasibility maps — the
+    # search state drops to (g, parent, open) and each round is pure
+    # gather/scatter-min with no raycasts.
+    mode: str = "continuous"
+    # Lattice open-list ring capacity. The frontier lives in a compact
+    # [capacity] buffer (no full-cuboid pass per round); it holds every
+    # not-yet-popped g-improvement, so it must exceed the number of
+    # improvements in flight (frontier width), not the cuboid size.
+    open_capacity: int = 1 << 18
 
 
 @dataclasses.dataclass(frozen=True)

@@ -93,6 +93,7 @@ def update(
     rc: RaycastConfig,
     ray_sharding=None,
     resample_fn=None,
+    measurement_fn=None,
 ) -> MCLState:
     """Weight against one scan, then (conditionally) resample.
 
@@ -102,16 +103,26 @@ def update(
     pins the [N, B] ray batch to a device mesh (see slam_tpu.parallel).
     `resample_fn(key, particles) -> particles` overrides the selection step
     (the sharded engines pass the reduce-scatter resampler from
-    slam_tpu.parallel.resample).
+    slam_tpu.parallel.resample). `measurement_fn(poses, scan) -> log_w[N]`
+    replaces the measurement model entirely (the map-block-sharded engine
+    computes weights against a distributed grid).
     """
-    field = rayfield.as_ray_field(field, rc)
-    if cfg.measurement == "likelihood_field" and field.edt is None:
-        raise ValueError(
-            "measurement='likelihood_field' needs a distance transform: use "
-            "RaycastConfig(backend='sdf') or build the RayField with an EDT "
-            f"(got backend={rc.backend!r})"
-        )
-    if cfg.measurement == "likelihood_field":
+    if measurement_fn is not None:
+        if cfg.adaptive is not None:
+            raise ValueError(
+                "adaptive injection needs the map; it is not supported with "
+                "a custom measurement_fn"
+            )
+        field = None
+        lw = measurement_fn(state.particles.pose, scan)
+    elif cfg.measurement == "likelihood_field":
+        field = rayfield.as_ray_field(field, rc)
+        if field.edt is None:
+            raise ValueError(
+                "measurement='likelihood_field' needs a distance transform: "
+                "use RaycastConfig(backend='sdf') or build the RayField with "
+                f"an EDT (got backend={rc.backend!r})"
+            )
         lw = measurement.particle_log_weights_likelihood_field(
             field,
             state.particles.pose,
@@ -124,6 +135,7 @@ def update(
             ray_sharding=ray_sharding,
         )
     else:
+        field = rayfield.as_ray_field(field, rc)
         lw = measurement.particle_log_weights(
             field,
             state.particles.pose,

@@ -47,15 +47,18 @@ def run_localization(
     start_pose: Pose,
     seed: int = 0,
     update_every: int = 1,
+    field=None,
 ) -> SimResult:
-    """MCL against the known (static) map."""
+    """MCL against the known (static) map. Pass a prebuilt `field` to reuse
+    an existing LUT/EDT (big-map tables take seconds to build)."""
     key = jax.random.key(seed)
     k_init, k_gt, key = jax.random.split(key, 3)
 
     m = mcl_mod.MCL(cfg.mcl, cfg.raycast)
     state = mcl_mod.init(k_init, cfg.mcl.n_particles, start_pose)
     # Static map: build the raycast backend structure (EDT / LUT) once.
-    field = rayfield.make_ray_field(gt_blocked, cfg.raycast)
+    if field is None:
+        field = rayfield.make_ray_field(gt_blocked, cfg.raycast)
 
     gt_pose = start_pose
     est_xy, best_xy, gt_xy = [], [], []
@@ -138,6 +141,51 @@ def run_slam(
         est_xy=np.array(est_xy),
         best_xy=np.array(best_xy),
         gt_xy=np.array(gt_xy),
+        final_state=state,
+    )
+
+
+def run_slam_deterministic(
+    gt_blocked: jax.Array,
+    cfg: SLAMConfig,
+    n_steps: int,
+    trans: float = 2.5,
+    rot: float = 0.02,
+    seed: int = 0,
+) -> SimResult:
+    """Grid SLAM along the C++ head-to-head harness's DETERMINISTIC arc
+    (`tools/refbench/ref_mcl_traj.cpp`): ground truth integrates
+    theta += rot/2; x += trans*cos(theta); theta += rot/2 with no noise, so
+    the trajectory (and hence the exact-DDA scans) matches the reference
+    binary bit-for-bit and ATEs are directly comparable."""
+    engine = slam_mod.GridSLAM(cfg, seed=seed)
+    h, w = gt_blocked.shape
+    start = Pose.create(w / 2.0, h / 2.0, np.pi / 2)
+    state = engine.init(start)
+    gt = start
+    odom = Odometry.create(rot / 2, trans, rot / 2)
+    est_mean, best_xy, gts = [], [], []
+    scan_fn = jax.jit(
+        lambda pose: fake_lidar.scan(gt_blocked, pose, cfg.lidar, cfg.raycast)
+    )
+    for _ in range(n_steps):
+        th1 = gt.theta + rot / 2
+        gt = Pose.create(
+            gt.x + trans * jnp.cos(th1), gt.y + trans * jnp.sin(th1),
+            th1 + rot / 2,
+        )
+        sp = sensor_pose(gt, cfg.mcl.scanner_offset)
+        state = engine.step(state, odom, scan_fn(sp))
+        mp = mcl_mod.mean_pose(state.mcl)
+        est_mean.append([float(mp.x), float(mp.y)])
+        best_xy.append(
+            [float(state.mcl.best_pose.x), float(state.mcl.best_pose.y)]
+        )
+        gts.append([float(gt.x), float(gt.y)])
+    return SimResult(
+        est_xy=np.array(est_mean),
+        best_xy=np.array(best_xy),
+        gt_xy=np.array(gts),
         final_state=state,
     )
 

@@ -74,13 +74,20 @@ def scan_logodds_update(
     l_free: float = -0.4,
     l_min: float = -6.0,
     l_max: float = 6.0,
+    row_offset=None,
+    full_h: int | None = None,
 ) -> jax.Array:
     """Update the shared log-odds grid from one scan taken at `pose`.
 
     One scatter-add over all beams' visited cells; in shared-map SLAM this
     runs once per scan from the estimated pose, not once per particle.
+    `grid_l` may be a row-block of a larger map (row_offset/full_h): beam
+    geometry runs in global coordinates and updates outside the block are
+    dropped, so block updates compose exactly to the full-map update.
     """
-    h, w = grid_l.shape
+    lh, w = grid_l.shape
+    h = lh if full_h is None else full_h
+    ro = jnp.int32(0 if row_offset is None else row_offset)
     sp = sensor_pose(pose, scanner_offset)
     angles = sp.theta + scan.angles  # [B]
     i, j, d, processed, _ = _beam_cells(
@@ -99,9 +106,17 @@ def scan_logodds_update(
     occ = (k_iota == first_idx[:, None]) & has_occ[:, None] & at_or_past
 
     delta = free * l_free + occ * l_occ
-    ic, jc = gridlib.clamp_cell((h, w), i, j)
-    flat_idx = (ic * w + jc).reshape(-1)
-    new_grid = grid_l.reshape(-1).at[flat_idx].add(delta.reshape(-1)).reshape(h, w)
+    il = i - ro  # block-local row; out-of-block updates dropped
+    inblk = (il >= 0) & (il < lh) & (j >= 0) & (j < w)
+    flat_idx = jnp.where(
+        inblk, jnp.clip(il, 0, lh - 1) * w + jnp.clip(j, 0, w - 1), lh * w
+    ).reshape(-1)
+    new_grid = (
+        grid_l.reshape(-1)
+        .at[flat_idx]
+        .add(delta.reshape(-1), mode="drop")
+        .reshape(lh, w)
+    )
     return jnp.clip(new_grid, l_min, l_max)
 
 

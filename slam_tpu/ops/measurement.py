@@ -244,11 +244,14 @@ def particle_log_weights_lut_fused(
     if ray_sharding is not None:
         pano = jax.lax.with_sharding_constraint(pano, ray_sharding)
 
-    # Comb select: position p of comb r_n is bin g*p + r_n.
-    oh_r = jax.nn.one_hot(r, g, dtype=pano.dtype)  # [N, g]
-    pred = jnp.einsum(
-        "npg,ng->np", pano.reshape(-1, m, g), oh_r
-    ).astype(jnp.float32)  # [N, M]
+    # Comb select: position p of comb r_n is bin g*p + r_n. Quantized (u8)
+    # tables compute in bf16 (integers <= 255 are exact) then dequantize.
+    cdt = jnp.bfloat16 if jnp.issubdtype(lut.dtype, jnp.integer) else lut.dtype
+    oh_r = jax.nn.one_hot(r, g, dtype=cdt)  # [N, g]
+    raw = jnp.einsum(
+        "npg,ng->np", pano.reshape(-1, m, g).astype(cdt), oh_r
+    )  # [N, M]
+    pred = lutlib.dequantize(raw, lut.dtype, rc.max_dist)
 
     # Align measured ranges/validity to positions: beam k sits at position
     # (q_n + k) mod M, so position p holds beam (p - q_n) mod M. All M rolls

@@ -39,21 +39,32 @@ def raycast_march(
     step: float = 0.5,
     max_dist: float = 500.0,
     chunk: int = 64,
+    row_offset=None,
+    full_h: int | None = None,
 ):
     """March rays through a boolean occupancy grid.
 
     Args:
-      blocked: bool[H, W], True where a cell stops rays.
+      blocked: bool[H, W], True where a cell stops rays. May be a row-block
+        of a larger map (see row_offset/full_h): cells outside the block are
+        treated as free, so block-partial results combine exactly with a
+        min over blocks (a ray's true first hit is the min of its per-block
+        first hits — the halo-free decomposition slam_tpu.parallel.mapshard
+        builds on).
       x, y, theta: ray origins/headings, broadcastable to a common batch shape.
       step: march step in pixels (`slam/raycast.h` default 0.5).
       max_dist: maximum ray length in pixels.
       chunk: steps advanced per early-exit round.
+      row_offset: global row index of blocked's first row (traced ok).
+      full_h: full-map height when blocked is a row-block.
 
     Returns:
       (dist, hit): f32[batch] event distance (== max_dist for misses) and
       bool[batch] hit flag.
     """
-    h, w = blocked.shape
+    lh, w = blocked.shape
+    h = lh if full_h is None else full_h
+    ro = jnp.int32(0 if row_offset is None else row_offset)
     x, y, theta = jnp.broadcast_arrays(
         jnp.asarray(x, jnp.float32),
         jnp.asarray(y, jnp.float32),
@@ -84,8 +95,11 @@ def raycast_march(
         py = y[:, None] + ks[None, :] * dy[:, None]
         i, j = gridlib.world_to_cell((h, w), px, py)
         inb = gridlib.in_bounds((h, w), i, j)
-        ic, jc = gridlib.clamp_cell((h, w), i, j)
-        occ = flat[(ic * w + jc).reshape(-1)].reshape(i.shape)
+        il = i - ro  # block-local row; out-of-block cells read as free
+        inblk = (il >= 0) & (il < lh)
+        ilc = jnp.clip(il, 0, lh - 1)
+        jc = jnp.clip(j, 0, w - 1)
+        occ = flat[(ilc * w + jc).reshape(-1)].reshape(i.shape) & inblk
         cell = i * w + j
         miss = (d[None, :] >= max_dist) | ~inb
         hit_k = occ & (cell != cell0[:, None]) & ~miss

@@ -38,20 +38,55 @@ class RayField:
         return self.blocked.shape
 
 
-def make_ray_field(blocked: jax.Array, rc: RaycastConfig) -> RayField:
-    """Build the backend structure for a static map (host-side, one-off)."""
+def make_ray_field(
+    blocked: jax.Array, rc: RaycastConfig, cache_dir: Optional[str] = None
+) -> RayField:
+    """Build the backend structure for a static map (host-side, one-off).
+
+    `cache_dir` caches the LUT on disk keyed by (map contents, bins,
+    max_dist, dtype) — big-map tables (maze: ~2 GiB, minutes of gather-bound
+    rotation resampling) then build once per map ever, not once per run.
+    """
     blocked = jnp.asarray(blocked, bool)
     if rc.backend == "march":
         return RayField(blocked=blocked)
     if rc.backend == "sdf":
         return RayField(blocked=blocked, edt=edtlib.edt_exact(blocked))
     if rc.backend == "lut":
-        return RayField(
-            blocked=blocked,
-            lut=lutlib.build_beam_lut(
-                blocked, n_bins=rc.lut_bins, max_dist=rc.max_dist
-            ),
+        dtype = {"bf16": jnp.bfloat16, "u8": jnp.uint8}[rc.lut_dtype]
+        path = None
+        if cache_dir is not None:
+            import hashlib
+            import os
+
+            import numpy as np
+
+            host = np.asarray(blocked)
+            key = hashlib.sha1(
+                host.tobytes()
+                + f"{host.shape}|{rc.lut_bins}|{rc.max_dist}|{rc.lut_dtype}|v1".encode()
+            ).hexdigest()[:16]
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"beam_lut_{key}.npy")
+            if os.path.exists(path):
+                lut_np = np.load(path)
+                lut = jnp.asarray(
+                    lut_np.view(jnp.bfloat16)
+                    if rc.lut_dtype == "bf16"
+                    else lut_np
+                )
+                return RayField(blocked=blocked, lut=lut)
+        lut = lutlib.build_beam_lut(
+            blocked, n_bins=rc.lut_bins, max_dist=rc.max_dist, dtype=dtype
         )
+        if path is not None:
+            import numpy as np
+
+            host_lut = np.asarray(jax.device_get(lut))
+            if host_lut.dtype == jnp.bfloat16:
+                host_lut = host_lut.view(np.uint16)
+            np.save(path, host_lut)
+        return RayField(blocked=blocked, lut=lut)
     raise ValueError(f"unknown raycast backend: {rc.backend}")
 
 

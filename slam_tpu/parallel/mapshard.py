@@ -1,0 +1,208 @@
+"""Map-block sharding: the occupancy grid distributed over a mesh axis.
+
+SURVEY section 7 item 8: for maps that outgrow per-device replication
+(maze-scale grids x their derived tables), the log-odds grid is sharded in
+ROW BLOCKS over the mesh's 'b' axis while particles stay sharded over 'p'.
+
+The decomposition needs NO halo exchange: a ray's true first hit is the
+minimum over blocks of its per-block first hit (cells outside a block read
+as free — `slam_tpu.ops.raycast.raycast_march`'s row-window mode), so the
+block-sharded raycast is one local march + a `pmin` over 'b'. Mapping
+scatters compose the same way: each block applies the updates that land in
+its rows (`scan_logodds_update` row-window mode) and the blocks never
+communicate. Exactness is tested against the replicated path in
+tests/test_mapshard.py.
+
+Trade-off vs replication: each device marches every ray to completion
+against its own block (no cross-block early exit), so total compute rises
+while per-device MAP MEMORY falls by the block factor — the right trade
+precisely when the map doesn't fit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slam_tpu.core import grid as gridlib
+from slam_tpu.core.config import SLAMConfig
+from slam_tpu.core.types import Odometry, Pose, Scan
+from slam_tpu.models import mcl as mcl_mod
+from slam_tpu.models import slam as slam_mod
+from slam_tpu.ops import mapping
+from slam_tpu.ops.measurement import beam_log_weights, sensor_pose
+from slam_tpu.ops.raycast import raycast_march
+from slam_tpu.parallel import sharded as sharded_mod
+
+
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """[H, W] grids sharded in row blocks over the 'b' axis."""
+    return NamedSharding(mesh, P("b", None))
+
+
+def raycast_march_sharded(
+    mesh: Mesh,
+    blocked: jax.Array,
+    x,
+    y,
+    theta,
+    *,
+    step: float,
+    max_dist: float,
+    chunk: int = 64,
+    map_axis: str = "b",
+):
+    """Exact march against a row-block-sharded map: local block march +
+    min-combine over the map axis. Ray batches are sharded over 'p' and
+    replicated over 'b' (every block sees every ray)."""
+    h, w = blocked.shape
+    d = mesh.shape[map_axis]
+    if h % d != 0:
+        raise ValueError(f"map rows {h} not divisible by '{map_axis}'={d}")
+    lh = h // d
+
+    def local(blk, x, y, th):
+        s = jax.lax.axis_index(map_axis)
+        dist, hit = raycast_march(
+            blk,
+            x,
+            y,
+            th,
+            step=step,
+            max_dist=max_dist,
+            chunk=chunk,
+            row_offset=s * lh,
+            full_h=h,
+        )
+        cand = jnp.where(hit, dist, jnp.float32(max_dist))
+        dmin = jax.lax.pmin(cand, map_axis)
+        return dmin, dmin < max_dist
+
+    ray_spec = P("p", *([None] * (jnp.ndim(x) - 1)))
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(map_axis, None), ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec),
+        check_vma=False,
+    )(blocked, x, y, theta)
+
+
+def scan_logodds_update_sharded(
+    mesh: Mesh,
+    grid_l: jax.Array,
+    pose: Pose,
+    scan: Scan,
+    *,
+    cfg: SLAMConfig,
+    map_axis: str = "b",
+):
+    """Mapping scatter on the sharded grid: every block applies its own
+    rows' updates; no communication."""
+    h, w = grid_l.shape
+    d = mesh.shape[map_axis]
+    lh = h // d
+
+    def local(blk, px, py, pth, dists, angles):
+        s = jax.lax.axis_index(map_axis)
+        return mapping.scan_logodds_update(
+            blk,
+            Pose(x=px, y=py, theta=pth),
+            Scan(angles=angles, dists=dists),
+            scanner_offset=cfg.mcl.scanner_offset,
+            step=cfg.raycast.step,
+            max_dist=cfg.raycast.max_dist,
+            l_occ=cfg.map.l_occ,
+            l_free=cfg.map.l_free,
+            l_min=cfg.map.l_min,
+            l_max=cfg.map.l_max,
+            row_offset=s * lh,
+            full_h=h,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(map_axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(map_axis, None),
+        check_vma=False,
+    )(grid_l, pose.x, pose.y, pose.theta, scan.dists, scan.angles)
+
+
+class MapShardedGridSLAM:
+    """Full grid SLAM with the log-odds grid row-block-sharded over 'b' and
+    particles sharded over 'p'. Same pure step functions as the replicated
+    engines; the block-sharded raycast replaces the measurement model and
+    the block-local scatter replaces the map update."""
+
+    def __init__(self, mesh: Mesh, cfg: SLAMConfig):
+        self.mesh = mesh
+        self.cfg = cfg
+        rfn = sharded_mod._resample_fn(mesh, cfg.mcl)
+
+        def measurement(grid_l, poses, scan):
+            blocked = gridlib.blocked_from_logodds(grid_l)
+            sp = sensor_pose(poses, cfg.mcl.scanner_offset)
+            angles = sp.theta[:, None] + scan.angles[None, :]
+            px = jnp.broadcast_to(sp.x[:, None], angles.shape)
+            py = jnp.broadcast_to(sp.y[:, None], angles.shape)
+            dist, hit = raycast_march_sharded(
+                mesh,
+                blocked,
+                px,
+                py,
+                angles,
+                step=cfg.raycast.step,
+                max_dist=cfg.raycast.max_dist,
+                chunk=cfg.raycast.chunk,
+            )
+            lw = beam_log_weights(
+                dist,
+                hit,
+                scan.dists[None, :],
+                stddev=cfg.mcl.meas_stddev,
+                max_dist=cfg.raycast.max_dist,
+                eps=cfg.mcl.meas_epsilon,
+            )
+            return jnp.sum(lw, axis=-1)
+
+        def step(state, odom, scan):
+            st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
+            st = mcl_mod.update(
+                st,
+                scan,
+                None,
+                cfg.mcl,
+                cfg.raycast,
+                resample_fn=rfn,
+                measurement_fn=functools.partial(measurement, state.grid),
+            )
+            new_grid = scan_logodds_update_sharded(
+                mesh, state.grid, st.best_pose, scan, cfg=cfg
+            )
+            do_map = (st.step % cfg.map_every) == 0
+            new_grid = jnp.where(do_map, new_grid, state.grid)
+            return slam_mod.SLAMState(mcl=st, grid=new_grid)
+
+        self._step = jax.jit(step)
+        self._predict = jax.jit(
+            lambda s, o: slam_mod.predict_only(s, o, cfg)
+        )
+
+    def init(self, pose: Pose | None = None, seed: int = 0) -> slam_mod.SLAMState:
+        state = slam_mod.init(jax.random.key(seed), self.cfg, pose)
+        state = sharded_mod.shard_state(
+            state, self.mesh, self.cfg.mcl.n_particles
+        )
+        return state.replace(
+            grid=jax.device_put(state.grid, grid_sharding(self.mesh))
+        )
+
+    def step(self, state, odom: Odometry, scan: Scan):
+        return self._step(state, odom, scan)
+
+    def predict(self, state, odom: Odometry):
+        return self._predict(state, odom)

@@ -223,6 +223,255 @@ def _ha_round(
     )
 
 
+def _lattice_tables(cfg: HybridAStarConfig, shape):
+    """Per-theta-bin successor offsets/costs for cell-center lattice states.
+
+    From a bin-center pose (j+0.5, h-i-0.5, theta_k), the (vel, steer)
+    successor lands at a FIXED integer cell/bin offset — so the steering
+    adjacency (`slam/hastar.cpp:88-112`) collapses to static tables:
+      flat_off [K, E]  cuboid-index delta
+      di/dj    [K, E]  cell deltas (for bounds checks)
+      cost     [K, E]  edge cost
+      seg      [K, E, T, 2] integer cell shifts sampled along each edge
+                         (feeds the shifted-AND feasibility maps)
+    """
+    h, w = shape
+    k = cfg.theta_res
+    thetas, steer_costs = _steering_tables(cfg)
+    vels = np.asarray([cfg.velocity, -cfg.velocity], np.float32)
+    cfac = np.asarray([1.0, cfg.reverse_factor], np.float32)
+    n_samples = max(2, int(math.ceil(cfg.velocity)))
+
+    e = 2 * len(thetas)
+    flat_off = np.zeros((k, e), np.int32)
+    di_t = np.zeros((k, e), np.int32)
+    dj_t = np.zeros((k, e), np.int32)
+    cost_t = np.zeros((k, e), np.float32)
+    seg = np.zeros((k, e, n_samples, 2), np.int32)
+    binw = 2.0 * math.pi / k
+    for kk in range(k):
+        thc = (kk + 0.5) * binw
+        ei = 0
+        for vi, v in enumerate(vels):
+            for si, st_ang in enumerate(thetas):
+                nth = thc + (v / cfg.length) * math.tan(st_ang)
+                dx = float(v * math.cos(nth))
+                dy = float(v * math.sin(nth))
+                dj = math.floor(0.5 + dx)
+                di = math.floor(0.5 - dy)
+                nk = int((nth % (2 * math.pi)) / binw) % k
+                flat_off[kk, ei] = (di * w + dj) * k + (nk - kk)
+                di_t[kk, ei] = di
+                dj_t[kk, ei] = dj
+                cost_t[kk, ei] = cfg.velocity + steer_costs[si] * cfac[vi]
+                for t in range(n_samples):
+                    f = (t + 1) / n_samples
+                    seg[kk, ei, t, 0] = math.floor(0.5 - f * dy)  # di
+                    seg[kk, ei, t, 1] = math.floor(0.5 + f * dx)  # dj
+                ei += 1
+    # Lattice validity: snapping headings to bin centers means rotation
+    # only accumulates in whole bins — max-steer edges must cross a bin
+    # boundary, i.e. (v/L)*tan(max_steering) >= half the bin width, or the
+    # search can never turn (the classic state-lattice resolution match).
+    turn = cfg.velocity / cfg.length * math.tan(cfg.max_steering)
+    if turn < binw / 2:
+        need = int(math.ceil(math.pi / turn))
+        raise ValueError(
+            f"lattice mode: per-edge heading change {math.degrees(turn):.1f} "
+            f"deg cannot cross a {math.degrees(binw):.1f}-deg theta bin; "
+            f"raise theta_res to >= {need} (or use mode='continuous')"
+        )
+    return flat_off, di_t, dj_t, cost_t, seg
+
+
+def _lattice_feasibility(free: jax.Array, seg: np.ndarray):
+    """bool[K*E, H, W] per-edge-type clearance maps: cell (i, j) may take
+    edge (k, e) iff every sampled segment cell is free and in bounds —
+    computed as an AND of integer-shifted copies of the free mask (no
+    raycasts; the "precomputed edge feasibility rolls").
+
+    The whole build runs as ONE jitted program: the K*E*T static-shift loop
+    would otherwise dispatch thousands of tiny eager device ops (minutes of
+    round trips on a tunneled TPU)."""
+    h, w = free.shape
+    k, e, t, _ = seg.shape
+
+    @jax.jit
+    def build(free):
+        free = jnp.asarray(free, bool)
+
+        def shifted(di, dj):
+            # free[i + di, j + dj] with out-of-bounds -> False.
+            out = jnp.zeros((h, w), bool)
+            src_i = slice(max(di, 0), h + min(di, 0))
+            src_j = slice(max(dj, 0), w + min(dj, 0))
+            dst_i = slice(max(-di, 0), h + min(-di, 0))
+            dst_j = slice(max(-dj, 0), w + min(-dj, 0))
+            return out.at[dst_i, dst_j].set(free[src_i, src_j])
+
+        # Dedup identical shifts across all (k, e, t) to one pass each.
+        maps = {}
+        feas = []
+        for kk in range(k):
+            for ei in range(e):
+                acc = None
+                for ti in range(t):
+                    key = (int(seg[kk, ei, ti, 0]), int(seg[kk, ei, ti, 1]))
+                    if key not in maps:
+                        maps[key] = shifted(*key)
+                    acc = maps[key] if acc is None else (acc & maps[key])
+                feas.append(acc)
+        return jnp.stack(feas).reshape(k * e, h, w)
+
+    return build(free)
+
+
+@struct.dataclass
+class LatticeState:
+    """Lattice-mode search state: cuboid cost/parent plus a COMPACT open
+    list — a [capacity] ring of (cuboid idx, f) entries holding every
+    not-yet-popped g-improvement. Selection scans the list, never the
+    cuboid: per-round cost is O(capacity + batch*E), independent of map
+    size (the full-cuboid f-pass was ~95% of the round at theta_res=36)."""
+
+    g: jax.Array  # f32[S]
+    parent: jax.Array  # i32[S]
+    o_idx: jax.Array  # i32[C] cuboid index per open entry
+    o_f: jax.Array  # f32[C] f = g + h at insert time (INF = empty slot)
+    wp: jax.Array  # i32 ring write pointer (total insertions)
+    goal_idx: jax.Array
+    goal_cost: jax.Array
+    n_expanded: jax.Array
+
+
+def _lattice_round(
+    st: LatticeState, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin,
+    hfield, cfg, shape,
+):
+    """One batched expansion over the compact open list."""
+    h, w = shape
+    hw = h * w
+    kbins = cfg.theta_res
+    kpop = cfg.batch
+    s = st.g.shape[0]
+    c = st.o_f.shape[0]
+
+    # Grouped best-of pops from the [C] list (not the [S] cuboid).
+    f2 = st.o_f.reshape(-1, kpop)  # capacity is a multiple of batch
+    rel = jnp.argmin(f2, axis=0)
+    cols = jnp.arange(kpop, dtype=jnp.int32)
+    pos = rel.astype(jnp.int32) * kpop + cols
+    fpop = jnp.take_along_axis(f2, rel[None, :], axis=0)[0]
+    pop_valid = fpop < INF
+    pop = jnp.where(pop_valid, st.o_idx[pos], 0)
+    o_f = st.o_f.at[jnp.where(pop_valid, pos, c)].set(INF, mode="drop")
+
+    cell = pop // kbins
+    # Lazy deletion (`slam/hastar.cpp:172-176`): an entry whose node's g
+    # improved after insertion is stale — skip its expansion entirely
+    # (two [batch] gathers save six successor lanes of work per stale pop).
+    # hfield is per-CELL [H*W] in lattice mode (theta-independent).
+    fresh = fpop <= st.g[pop] + hfield[cell] + 1e-3
+    pop_valid = pop_valid & fresh
+    kk = pop % kbins
+    i = cell // w
+    j = cell % w
+    gg = st.g[pop]
+
+    # Goal test on the cell-center pose.
+    cx = j.astype(jnp.float32) + 0.5
+    cy = (h - i).astype(jnp.float32) - 0.5
+    d2goal = (cx - goal[0]) ** 2 + (cy - goal[1]) ** 2
+    bin_ok = cfg.diff_drive | (kk == target_bin)
+    at_goal = (d2goal <= cfg.tol * cfg.tol) & bin_ok & pop_valid
+    any_goal = jnp.any(at_goal)
+    first = jnp.argmin(jnp.where(at_goal, fpop, INF))
+    goal_better = any_goal & (st.goal_idx < 0)
+    goal_idx = jnp.where(goal_better, pop[first], st.goal_idx)
+    goal_cost = jnp.where(goal_better, gg[first], st.goal_cost)
+
+    # Successors: static per-bin tables, [batch, E].
+    off = flat_off[kk]  # [batch, E]
+    ni = i[:, None] + di_t[kk]
+    nj = j[:, None] + dj_t[kk]
+    inb = (ni >= 0) & (ni < h) & (nj >= 0) & (nj < w)
+    # Feasibility: ONE contiguous [K*E]-byte row per pop + one-hot bin
+    # select. Scalar sub-word gathers at (etype, cell) cost ~0.5us EACH on
+    # TPU (13 ms/round measured); the row gather + dense select is ~100x
+    # cheaper — the same restructuring as the measurement panorama.
+    frows = feas[cell]  # [batch, K*E] u8
+    e_n = di_t.shape[1]
+    clear = (
+        jnp.einsum(
+            "pke,pk->pe",
+            frows.reshape(-1, kbins, e_n).astype(jnp.float32),
+            jax.nn.one_hot(kk, kbins, dtype=jnp.float32),
+        )
+        > 0.5
+    )
+    ok = inb & clear & pop_valid[:, None]
+
+    tgt = jnp.clip(pop[:, None] + off, 0, s - 1)
+    cand = jnp.where(ok, gg[:, None] + cost_t[kk], INF)
+    cand = jnp.where(cand < st.g[tgt], cand, INF)
+
+    tgt_f = tgt.reshape(-1)
+    cand_f = cand.reshape(-1)
+    g = st.g.at[tgt_f].min(cand_f)
+    won = (cand_f <= g[tgt_f]) & (cand_f < INF)
+    tgt_w = jnp.where(won, tgt_f, 2 ** 30)
+    parent = st.parent.at[tgt_w].set(
+        jnp.broadcast_to(pop[:, None], cand.shape).reshape(-1), mode="drop"
+    )
+
+    # Insert winners: compact to consecutive ring slots. Dead (goal-
+    # unreachable, h == INF) successors are not inserted, so the search
+    # terminates on exhaustion.
+    fnew = cand_f + hfield[tgt_f // kbins]
+    insert = won & (fnew < INF)
+    rank = jnp.cumsum(insert.astype(jnp.int32)) - 1
+    slot = jnp.where(insert, (st.wp + rank) % c, c)
+    o_idx = st.o_idx.at[slot].set(tgt_f, mode="drop")
+    o_f = o_f.at[slot].set(fnew, mode="drop")
+
+    return st.replace(
+        g=g,
+        parent=parent,
+        o_idx=o_idx,
+        o_f=o_f,
+        wp=st.wp + jnp.sum(insert),
+        goal_idx=goal_idx,
+        goal_cost=goal_cost,
+        n_expanded=st.n_expanded + jnp.sum(pop_valid),
+    )
+
+
+def _lattice_solve(
+    st, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin, hfield,
+    max_rounds, cfg, shape,
+):
+    def cond(carry):
+        st, rounds = carry
+        return (
+            (st.goal_idx < 0)
+            & jnp.any(st.o_f < INF)
+            & (rounds < max_rounds)
+        )
+
+    def body(carry):
+        st, rounds = carry
+        return (
+            _lattice_round(
+                st, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin,
+                hfield, cfg, shape,
+            ),
+            rounds + 1,
+        )
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
+
+
 def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
     """Whole search as ONE device program: a while_loop over rounds, so a
     full pathfind costs a single host<->device round trip (the per-round
@@ -242,6 +491,21 @@ def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
 
 _ha_round_jit = jax.jit(_ha_round, static_argnums=(5, 6))
 _ha_solve_jit = jax.jit(_ha_solve, static_argnums=(6, 7))
+_lattice_round_jit = jax.jit(_lattice_round, static_argnums=(9, 10))
+_lattice_solve_jit = jax.jit(_lattice_solve, static_argnums=(10, 11))
+
+# Fleet mode: Q independent queries solved in lockstep — per-round work is
+# Q x batch x E lanes, so the ~1-2 ms/round device floor (scatter latency x
+# ~path-depth rounds) amortizes over the whole query batch. The map tables
+# (feasibility rolls, steering offsets) are shared; state/goal/heuristic are
+# per-query.
+_lattice_solve_many_jit = jax.jit(
+    jax.vmap(
+        _lattice_solve,
+        in_axes=(0, None, None, None, None, None, 0, 0, 0, None, None, None),
+    ),
+    static_argnums=(10, 11),
+)
 
 
 class HybridAStar:
@@ -279,7 +543,27 @@ class HybridAStar:
         free = jnp.asarray(free, bool)
         self.shape = free.shape
         self._free = free
-        self.field = make_ray_field(~free, self.rc)
+        if self.cfg.mode == "lattice":
+            # No raycasts in lattice mode: feasibility is precomputed as
+            # shifted-AND maps; the ray field build is skipped entirely.
+            self.field = RayField(blocked=~free)
+            flat_off, di_t, dj_t, cost_t, seg = _lattice_tables(
+                self.cfg, self.shape
+            )
+            # Cell-major u8 layout [H*W, K*E]: the round gathers one
+            # contiguous row per pop (see _lattice_round).
+            self._lat_feas = jnp.asarray(
+                _lattice_feasibility(free, seg)
+                .reshape(-1, self.shape[0] * self.shape[1])
+                .T,
+                jnp.uint8,
+            )
+            self._lat_off = jnp.asarray(flat_off)
+            self._lat_di = jnp.asarray(di_t)
+            self._lat_dj = jnp.asarray(dj_t)
+            self._lat_cost = jnp.asarray(cost_t)
+        else:
+            self.field = make_ray_field(~free, self.rc)
         self.reset_query(a, b)
 
     def reset_query(self, a: Pose, b: Pose):
@@ -297,6 +581,31 @@ class HybridAStar:
         self._steer_costs = jnp.asarray(steer_costs)
 
         start_idx = self._pose_to_cuboid(a.x, a.y, a.theta)
+        self._target_bin = jnp.asarray(
+            self._pose_to_cuboid(b.x, b.y, b.theta) % k, jnp.int32
+        )
+        self._goal = jnp.asarray([b.x, b.y], jnp.float32)
+        self._hfield = self._build_hfield(self._free, b)
+        if self.cfg.mode == "lattice":
+            # Pose is implied by the cuboid index; the frontier lives in a
+            # compact ring (see LatticeState) seeded with the start node.
+            c = -(-max(self.cfg.open_capacity, self.cfg.batch)
+                  // self.cfg.batch) * self.cfg.batch
+            self.state = LatticeState(
+                g=jnp.full((s,), INF).at[start_idx].set(0.0),
+                parent=jnp.full((s,), -1, jnp.int32),
+                o_idx=jnp.zeros((c,), jnp.int32)
+                .at[0]
+                .set(jnp.asarray(start_idx, jnp.int32)),
+                o_f=jnp.full((c,), INF)
+                .at[0]
+                .set(self._hfield[start_idx // k]),
+                wp=jnp.int32(1),
+                goal_idx=jnp.int32(-1),
+                goal_cost=INF,
+                n_expanded=jnp.int32(0),
+            )
+            return
         self.state = HAState(
             g=jnp.full((s,), INF).at[start_idx].set(0.0),
             parent=jnp.full((s,), -1, jnp.int32),
@@ -308,22 +617,25 @@ class HybridAStar:
             goal_cost=INF,
             n_expanded=jnp.int32(0),
         )
-        self._target_bin = jnp.asarray(
-            self._pose_to_cuboid(b.x, b.y, b.theta) % k, jnp.int32
-        )
-        self._goal = jnp.asarray([b.x, b.y], jnp.float32)
-        self._hfield = self._build_hfield(self._free, b)
 
     def _build_hfield(self, free: jax.Array, b: Pose) -> jax.Array:
         """Heuristic table per cuboid cell. "geodesic" runs the A* wavefront
         to the goal on a `coarse`-downsampled grid (max-pooled free space,
         so distances underestimate -> admissible) and tiles it over theta
         bins; "euclid" returns a dummy (computed in-round)."""
+        h, w = self.shape
         if self.cfg.heuristic != "geodesic":
-            return jnp.zeros((1,), jnp.float32)
+            if self.cfg.mode != "lattice":
+                return jnp.zeros((1,), jnp.float32)
+            # Lattice consumes a per-CELL [H*W] table: Euclid field.
+            ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            cx = jj + 0.5
+            cy = (h - ii) - 0.5
+            d = jnp.sqrt((cx - b.x) ** 2 + (cy - b.y) ** 2)
+            return d.reshape(-1)
         from slam_tpu.planners import astar as astar_mod
 
-        h, w = self.shape
         k = self.cfg.theta_res
         f4 = max(1, self.cfg.coarse)
         ph = (-h) % f4
@@ -335,6 +647,8 @@ class HybridAStar:
         dc = astar_mod.distance_field(free_c, jnp.stack([gi, gj]))
         h2d = jnp.repeat(jnp.repeat(dc * f4, f4, 0), f4, 1)[:h, :w]
         h2d = jnp.minimum(h2d, INF)
+        if self.cfg.mode == "lattice":
+            return h2d.reshape(-1)  # per-cell; theta-independent
         return jnp.repeat(h2d.reshape(-1), k)
 
 
@@ -346,35 +660,98 @@ class HybridAStar:
         returns True on success/exhaustion)."""
         if self.success or self.used_up:
             return True
-        self.state = _ha_round_jit(
-            self.state, self.field, self._goal, self._target_bin,
-            self._hfield, self.cfg, self.rc,
-        )
+        if self.cfg.mode == "lattice":
+            self.state = _lattice_round_jit(
+                self.state, self._lat_feas, self._lat_off, self._lat_di,
+                self._lat_dj, self._lat_cost, self._goal, self._target_bin,
+                self._hfield, self.cfg, self.shape,
+            )
+        else:
+            self.state = _ha_round_jit(
+                self.state, self.field, self._goal, self._target_bin,
+                self._hfield, self.cfg, self.rc,
+            )
         if int(self.state.goal_idx) >= 0:
             self.success = True
             return True
-        if not bool(jnp.any(self.state.open_mask)):
+        open_any = (
+            jnp.any(self.state.o_f < INF)
+            if self.cfg.mode == "lattice"
+            else jnp.any(self.state.open_mask)
+        )
+        if not bool(open_any):
             self.used_up = True
             return True
         return False
 
     def solve(self, max_rounds: Optional[int] = None) -> bool:
         max_rounds = max_rounds or self.cfg.max_rounds
-        self.state = _ha_solve_jit(
-            self.state,
-            self.field,
-            self._goal,
-            self._target_bin,
-            self._hfield,
-            jnp.int32(max_rounds),
-            self.cfg,
-            self.rc,
-        )
+        if self.cfg.mode == "lattice":
+            self.state = _lattice_solve_jit(
+                self.state, self._lat_feas, self._lat_off, self._lat_di,
+                self._lat_dj, self._lat_cost, self._goal, self._target_bin,
+                self._hfield, jnp.int32(max_rounds), self.cfg, self.shape,
+            )
+        else:
+            self.state = _ha_solve_jit(
+                self.state,
+                self.field,
+                self._goal,
+                self._target_bin,
+                self._hfield,
+                jnp.int32(max_rounds),
+                self.cfg,
+                self.rc,
+            )
         if int(self.state.goal_idx) >= 0:
             self.success = True
         else:
             self.used_up = True
         return self.success
+
+    def solve_many(self, queries, max_rounds: Optional[int] = None):
+        """Solve Q independent (start, goal) queries in one device program
+        (lattice mode only): states advance in lockstep, so the per-round
+        device floor amortizes across the fleet. Returns a list of
+        (success, cost) per query; call `recover_path_from(state_q, q)` via
+        the returned states for paths.
+
+        The reference replans one mouse query at a time
+        (`apps/hastar_planner.cpp:50-117`); a robot fleet sharing one map is
+        the workload where a TPU planner earns its keep.
+        """
+        if self.cfg.mode != "lattice":
+            raise ValueError("solve_many requires mode='lattice'")
+        max_rounds = max_rounds or self.cfg.max_rounds
+        states, goals, tbins, hfields = [], [], [], []
+        for a, b in queries:
+            self.reset_query(a, b)
+            states.append(self.state)
+            goals.append(self._goal)
+            tbins.append(self._target_bin)
+            hfields.append(self._hfield)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        out = _lattice_solve_many_jit(
+            stacked,
+            self._lat_feas,
+            self._lat_off,
+            self._lat_di,
+            self._lat_dj,
+            self._lat_cost,
+            jnp.stack(goals),
+            jnp.stack(tbins),
+            jnp.stack(hfields),
+            jnp.int32(max_rounds),
+            self.cfg,
+            self.shape,
+        )
+        results = []
+        goal_idx = np.asarray(out.goal_idx)
+        goal_cost = np.asarray(out.goal_cost)
+        for q in range(len(queries)):
+            results.append((int(goal_idx[q]) >= 0, float(goal_cost[q])))
+        self._fleet_state = out
+        return results
 
     def recover_path(self) -> List[Tuple[int, int]]:
         """Parent-chain walk returning image coords

@@ -7,6 +7,7 @@ Hybrid A* and RRT* paths are checked for feasibility and sane cost on maps
 with known topology.
 """
 
+import dataclasses
 import heapq
 import math
 
@@ -142,6 +143,71 @@ class TestHybridAStar:
         b = Pose.create(40.0, 24.0, 0.0)
         p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
         assert not p.solve(max_rounds=300)
+
+
+class TestHybridAStarLattice:
+    """Lattice mode (cell-center states, precomputed feasibility rolls, no
+    raycasts) must find comparable-cost feasible paths."""
+
+    # Bin width must not exceed ~the per-edge heading change (20 deg for
+    # this vehicle), or lattice headings can never accumulate a turn.
+    CFG = dataclasses.replace(TestHybridAStar.CFG, mode="lattice", theta_res=12)
+
+    def test_rejects_too_coarse_theta_res(self):
+        free = np.ones((32, 32), bool)
+        bad = dataclasses.replace(self.CFG, theta_res=4)
+        with pytest.raises(ValueError, match="lattice"):
+            HybridAStar(
+                jnp.asarray(free),
+                Pose.create(5.0, 5.0, 0.0),
+                Pose.create(25.0, 25.0, 0.0),
+                bad,
+            )
+
+    def test_open_map_reaches_goal_and_cost_parity(self):
+        free = np.ones((64, 64), bool)
+        a = Pose.create(10.0, 10.0, 0.0)
+        b = Pose.create(50.0, 50.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert p.solve(max_rounds=200)
+        assert len(p.recover_path()) >= 5
+        ref = HybridAStar(jnp.asarray(free), a, b, TestHybridAStar.CFG)
+        assert ref.solve(max_rounds=200)
+        # Within a few edge costs of the continuous-mode path.
+        assert abs(p.path_cost() - ref.path_cost()) <= 3 * self.CFG.velocity
+
+    def test_wall_gap(self):
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert p.solve(max_rounds=400)
+        for i, j in p.recover_path():
+            if j == 32:
+                assert 28 <= i < 38
+
+    def test_unreachable(self):
+        free = np.ones((48, 48), bool)
+        free[:, 24] = False
+        a = Pose.create(8.0, 24.0, 0.0)
+        b = Pose.create(40.0, 24.0, 0.0)
+        p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert not p.solve(max_rounds=300)
+
+    def test_solve_many_matches_single(self):
+        free = wall_map(64, 64, gap=(28, 38))
+        queries = [
+            (Pose.create(10.0, 32.0, 0.0), Pose.create(54.0, 32.0, 0.0)),
+            (Pose.create(10.0, 10.0, 0.0), Pose.create(50.0, 50.0, 0.0)),
+            (Pose.create(54.0, 10.0, 0.0), Pose.create(10.0, 50.0, 0.0)),
+        ]
+        p = HybridAStar(jnp.asarray(free), queries[0][0], queries[0][1], self.CFG)
+        fleet = p.solve_many(queries, max_rounds=400)
+        for (a, b), (ok, cost) in zip(queries, fleet):
+            p.reset_query(a, b)
+            assert p.solve(max_rounds=400) == ok
+            if ok:
+                assert abs(cost - p.path_cost()) < 1e-3
 
 
 class TestRRTStar:

@@ -60,10 +60,13 @@ class TestSdf:
 
 
 class TestLut:
-    def test_matches_march_within_binning_error(self, rng):
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.uint8])
+    def test_matches_march_within_binning_error(self, rng, dtype):
         h = w = 96
         blocked = jnp.asarray(synthetic_room(h, w))
-        lut = lutlib.build_beam_lut(blocked, n_bins=256, max_dist=120.0)
+        lut = lutlib.build_beam_lut(
+            blocked, n_bins=256, max_dist=120.0, dtype=dtype
+        )
         xs, ys, ths = _ray_batch(rng, 512, h, w)
         # Snap angles exactly to bins to isolate translation error.
         ths = jnp.round(ths / (2 * np.pi / 256)) * (2 * np.pi / 256)
@@ -133,6 +136,36 @@ class TestLutFusedMeasurement:
         # Same bins, same pdf — agreement to f32 reduction-order noise,
         # except where a bin rounds differently by 1 ulp of the angle
         # arithmetic (a measure-zero tie event).
+        assert np.median(diff) < 1e-4
+        assert (diff < 1e-3).mean() > 0.99
+
+    def test_matches_general_path_u8(self, rng):
+        """Both paths dequantize the same raw values -> still near-exact."""
+        from slam_tpu.core.config import beam_bin_stride
+        from slam_tpu.models import fake_lidar
+        from slam_tpu.ops import measurement, rayfield
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        rc = RaycastConfig(
+            step=0.5, max_dist=80.0, backend="lut", lut_bins=96, lut_dtype="u8"
+        )
+        lidar = LidarConfig(start=0.0, stop=2 * np.pi, n_rays=24, max_dist=80.0)
+        stride = beam_bin_stride(lidar, rc)
+        field = rayfield.make_ray_field(blocked, rc)
+        assert field.lut.dtype == jnp.uint8
+        scan = fake_lidar.scan(blocked, Pose.create(40.0, 48.0, 0.7), lidar, rc)
+        poses = Pose(
+            x=jnp.asarray(rng.uniform(5, w - 5, 256), jnp.float32),
+            y=jnp.asarray(rng.uniform(5, h - 5, 256), jnp.float32),
+            theta=jnp.asarray(rng.uniform(-3, 3, 256), jnp.float32),
+        )
+        kw = dict(rc=rc, scanner_offset=(0.0, 0.0, 0.0), stddev=4.0, eps=0.1)
+        lw_gen = measurement.particle_log_weights(field, poses, scan, **kw)
+        lw_fused = measurement.particle_log_weights(
+            field, poses, scan, lut_beam_stride=stride, **kw
+        )
+        diff = np.abs(np.asarray(lw_gen) - np.asarray(lw_fused))
         assert np.median(diff) < 1e-4
         assert (diff < 1e-3).mean() > 0.99
 
