@@ -46,3 +46,45 @@ def measure_time(label: str):
     t0 = time.perf_counter()
     yield
     print(f"{label}: {(time.perf_counter() - t0) * 1e3:.1f} ms")
+
+
+def interactive_queries(stream=None):
+    """Headless equivalent of the planners' mouse loop
+    (`apps/hastar_planner.cpp:50-117`, `apps/rrt_planner.cpp:44-68`: L/R
+    click = start/goal, replan when both are set).
+
+    Reads commands from `stream` (default stdin), yields (start, goal)
+    pairs, each of which the caller replans on the WARM planner object:
+
+        X1 Y1 X2 Y2    plan start=(X1,Y1) goal=(X2,Y2)
+        start X Y      set start (replans once goal is also set)
+        goal X Y       set goal
+        q / quit       exit
+    """
+    import sys
+
+    stream = stream if stream is not None else sys.stdin
+    start = goal = None
+    for line in stream:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd = parts[0].lower()
+        if cmd in ("q", "quit", "exit"):
+            return
+        try:
+            if cmd == "start":
+                start = (float(parts[1]), float(parts[2]))
+            elif cmd == "goal":
+                goal = (float(parts[1]), float(parts[2]))
+            else:
+                vals = [float(v) for v in parts]
+                if len(vals) != 4:
+                    raise ValueError(line)
+                start, goal = (vals[0], vals[1]), (vals[2], vals[3])
+        except (ValueError, IndexError):
+            print(f"? unparsed: {line.strip()!r} (want 'X1 Y1 X2 Y2', "
+                  f"'start X Y', 'goal X Y', or 'quit')")
+            continue
+        if start is not None and goal is not None:
+            yield start, goal

@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--backend", default="sdf", choices=["march", "sdf"])
     ap.add_argument("--out", default="hastar.png")
+    ap.add_argument(
+        "--interactive", action="store_true",
+        help="read 'X1 Y1 X2 Y2' queries from stdin and replan on the warm "
+        "planner (headless mouse loop, `apps/hastar_planner.cpp:50-117`)",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -67,23 +72,36 @@ def main(argv=None):
     a = Pose.create(start[0], start[1], 0.0)
     b = Pose.create(goal[0], goal[1], 0.0)
     planner = HybridAStar(free, a, b, cfg, RaycastConfig(backend=args.backend, step=1.0))
-    with measure_time("hybrid A* pathfind"):
-        ok = planner.solve()
 
-    img = render.blocked_to_rgb(blocked)
-    if ok:
-        path = planner.recover_path()
-        render.draw_path_cells(img, path, render.GREEN)
-        print(
-            f"path found: {len(path)} cells, cost {planner.path_cost():.1f}, "
-            f"{int(planner.state.n_expanded)} expansions"
-        )
-    else:
-        print("no path found")
-    render.draw_pose(img, a.x, a.y, a.theta, render.BLUE, 4)
-    render.draw_pose(img, b.x, b.y, b.theta, render.RED, 4)
-    render.save_png(img, args.out)
-    print(f"-> {args.out}")
+    def run_and_render(a, b, out):
+        with measure_time("hybrid A* pathfind"):
+            ok = planner.solve()
+        img = render.blocked_to_rgb(blocked)
+        if ok:
+            path = planner.recover_path()
+            render.draw_path_cells(img, path, render.GREEN)
+            print(
+                f"path found: {len(path)} cells, cost {planner.path_cost():.1f}, "
+                f"{int(planner.state.n_expanded)} expansions"
+            )
+        else:
+            print("no path found")
+        render.draw_pose(img, a.x, a.y, a.theta, render.BLUE, 4)
+        render.draw_pose(img, b.x, b.y, b.theta, render.RED, 4)
+        render.save_png(img, out)
+        print(f"-> {out}")
+        return ok
+
+    ok = run_and_render(a, b, args.out)
+    if args.interactive:
+        from slam_tpu.apps.common import interactive_queries
+
+        stem, dot, ext = args.out.rpartition(".")
+        for k, (s, g) in enumerate(interactive_queries(), start=1):
+            a = Pose.create(s[0], s[1], 0.0)
+            b = Pose.create(g[0], g[1], 0.0)
+            planner.reset_query(a, b)  # warm: keeps map/ray-field/compilation
+            ok = run_and_render(a, b, f"{stem}_{k}{dot}{ext}" if dot else f"{args.out}_{k}")
     return ok
 
 

@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--check", action="store_true", help="brute-force cross-check")
+    ap.add_argument(
+        "--draw-partition", action="store_true",
+        help="shade each pixel by its nearest point — the partition the "
+        "dense NN kernel implicitly queries (the index-structure "
+        "visualization analog of the reference's kd-tree split lines, "
+        "`slam/kdtree.cpp:201-223`)",
+    )
     ap.add_argument("--out", default="nearest_neighbor.png")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
@@ -59,6 +66,26 @@ def main(argv=None):
         print("brute-force check OK")
 
     img = np.full((args.size, args.size, 3), 255, np.uint8)
+    if args.draw_partition:
+        # Voronoi regions of the point set, computed with the SAME batched
+        # NN kernel (pixels are just a big query batch), pastel-shaded by
+        # owner index.
+        jj, ii = np.meshgrid(np.arange(args.size), np.arange(args.size))
+        gx = jj.reshape(-1).astype(np.float32)  # world x == col
+        gy = (args.size - 1 - ii).reshape(-1).astype(np.float32)  # y-up
+        owner = np.empty(gx.size, np.int32)
+        chunk = 65536
+        for s in range(0, gx.size, chunk):
+            o, _ = spatial.nearest_neighbor(
+                jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
+                jnp.asarray(gx[s : s + chunk]), jnp.asarray(gy[s : s + chunk]),
+            )
+            owner[s : s + chunk] = np.asarray(o)
+        h = (owner.reshape(args.size, args.size).astype(np.uint64)
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        img[..., 0] = 205 + (h >> 8) % 50
+        img[..., 1] = 205 + (h >> 16) % 50
+        img[..., 2] = 205 + (h >> 24) % 50
     for x, y in zip(px, py):
         render.draw_disc(img, int(args.size - y - 1), int(x), 1, render.BLACK)
     for k in range(args.queries):

@@ -28,6 +28,13 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--check", action="store_true")
+    ap.add_argument(
+        "--draw-tree", action="store_true",
+        help="overlay the adaptive quadrant decomposition of the point set "
+        "(what the reference draws as quadtree node boxes, "
+        "`slam/quadtree.cpp:141-161`; here a host-side visualization — the "
+        "production range query is dense)",
+    )
     ap.add_argument("--out", default="regions.png")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
@@ -59,6 +66,33 @@ def main(argv=None):
         print("brute-force check OK")
 
     img = np.full((args.size, args.size, 3), 255, np.uint8)
+    if args.draw_tree:
+        gray = (210, 210, 210)
+
+        def subdivide(x0, y0, x1, y1, sel, depth):
+            # Point-region split: recurse while a quadrant holds >1 point
+            # (the reference's quadtree splits on point insertion).
+            i0, i1 = args.size - int(y1) - 1, args.size - int(y0) - 1
+            render.draw_line(img, max(i0, 0), int(x0), max(i0, 0), int(x1) - 1, gray)
+            render.draw_line(img, min(i1, args.size - 1), int(x0),
+                             min(i1, args.size - 1), int(x1) - 1, gray)
+            render.draw_line(img, max(i0, 0), int(x0), min(i1, args.size - 1),
+                             int(x0), gray)
+            render.draw_line(img, max(i0, 0), int(x1) - 1, min(i1, args.size - 1),
+                             int(x1) - 1, gray)
+            if sel.sum() <= 1 or depth >= 8:
+                return
+            mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+            for qx0, qy0, qx1, qy1 in (
+                (x0, y0, mx, my), (mx, y0, x1, my),
+                (x0, my, mx, y1), (mx, my, x1, y1),
+            ):
+                q = sel & (px >= qx0) & (px < qx1) & (py >= qy0) & (py < qy1)
+                if q.any():
+                    subdivide(qx0, qy0, qx1, qy1, q, depth + 1)
+
+        subdivide(0.0, 0.0, float(args.size), float(args.size),
+                  np.ones(args.n, bool), 0)
     inside_any = mask.any(axis=0)
     for x, y, hit in zip(px, py, inside_any):
         render.draw_disc(

@@ -71,3 +71,46 @@ def test_nn_and_regions_apps(tmp_path):
     regions.main(
         ["--n", "300", "--boxes", "2", "--check", "--out", str(tmp_path / "g.png")]
     )
+
+
+def test_index_structure_visualizations(tmp_path):
+    """The dense-index analogs of the reference's kd-tree split-line and
+    quadtree node-box rendering (`slam/kdtree.cpp:201-223`,
+    `slam/quadtree.cpp:141-161`)."""
+    nearest_neighbor.main(
+        ["--n", "50", "--queries", "2", "--size", "64", "--check",
+         "--draw-partition", "--out", str(tmp_path / "nv.png")]
+    )
+    regions.main(
+        ["--n", "60", "--boxes", "1", "--size", "64", "--check",
+         "--draw-tree", "--out", str(tmp_path / "gv.png")]
+    )
+    assert (tmp_path / "nv.png").exists()
+    assert (tmp_path / "gv.png").exists()
+
+
+def test_interactive_replanning(tmp_path, monkeypatch):
+    """Warm repeated-query replanning — the headless form of the reference's
+    mouse-driven event loops (`apps/hastar_planner.cpp:50-117`,
+    `apps/rrt_planner.cpp:44-68`)."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("40 40 100 100\nquit\n"))
+    ok = rrt_planner.main(
+        ["--out", str(tmp_path / "r.png"), "--n-points", "50",
+         "--reach", "16", "--radius", "32", "--max-nodes", "1024",
+         "--batch", "64", "--inflate", "2", "--interactive"]
+    )
+    assert ok
+    assert (tmp_path / "r_1.png").exists()
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("start 40 40\ngoal 100 100\nq\n")
+    )
+    ok = hastar_planner.main(
+        ["--out", str(tmp_path / "h.png"), "--velocity", "5",
+         "--batch", "64", "--inflate", "2",
+         "--start", "40", "64", "--goal", "200", "64", "--interactive"]
+    )
+    assert ok
+    assert (tmp_path / "h_1.png").exists()
