@@ -62,6 +62,7 @@ def raycast_march(
       (dist, hit): f32[batch] event distance (== max_dist for misses) and
       bool[batch] hit flag.
     """
+    blocked = jnp.asarray(blocked, bool)  # host arrays would np-index tracers
     lh, w = blocked.shape
     h = lh if full_h is None else full_h
     ro = jnp.int32(0 if row_offset is None else row_offset)

@@ -70,6 +70,18 @@ def systematic_indices(key, log_w):
     return jnp.clip(idx, 0, n - 1)
 
 
+def gather_pose_packed(pose, idx):
+    """pose[idx] via ONE [N, L] row gather instead of L scalar gathers.
+
+    XLA's gather cost is dominated by a per-row constant (~31 ns/row
+    measured, tools/roofline.py), so packing the pose SoA fields into one
+    row-gathered matrix is 2.2x faster at 100k particles and 4.3x at 1M
+    than gathering each field separately."""
+    leaves, treedef = jax.tree.flatten(pose)
+    packed = jnp.stack(leaves, axis=1)[idx]
+    return jax.tree.unflatten(treedef, [packed[:, k] for k in range(len(leaves))])
+
+
 def resample(key, particles: Particles, method: str = "systematic") -> Particles:
     """Select a new particle set and reset weights to uniform."""
     if method == "systematic":
@@ -79,9 +91,8 @@ def resample(key, particles: Particles, method: str = "systematic") -> Particles
     else:
         raise ValueError(f"unknown resample method: {method}")
     n = particles.n
-    gathered = jax.tree.map(lambda a: a[idx], particles.pose)
     return Particles(
-        pose=gathered,
+        pose=gather_pose_packed(particles.pose, idx),
         log_weight=jnp.full((n,), -jnp.log(n), particles.log_weight.dtype),
     )
 

@@ -133,6 +133,24 @@ def _resample_local(lw, x, y, th, u0, *, axis: str, n_global: int):
     return fx, fy, fth
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _resample_sharded_jit(mesh, key, lw, x, y, th, *, axis):
+    # Jitted as a whole: an EAGER shard_map would dispatch the body
+    # primitive-by-primitive (associative_scan's recursive pjits each
+    # compile separately on the mesh — minutes on an 8-device host mesh).
+    n = lw.shape[0]
+    u0 = jax.random.uniform(key, ())
+    spec = P(axis)
+    body = functools.partial(_resample_local, axis=axis, n_global=n)
+    return jax.shard_map(
+        lambda lw, x, y, th, u: body(lw, x, y, th, u),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P()),
+        out_specs=spec,
+        check_vma=False,
+    )(lw, x, y, th, u0)
+
+
 def systematic_resample_sharded(
     mesh: Mesh,
     key,
@@ -144,25 +162,17 @@ def systematic_resample_sharded(
     'systematic')`: identical selection given the same key (same u0, same
     cumsum up to f32 association), state exchanged via reduce-scatter."""
     n = particles.n
-    u0 = jax.random.uniform(key, ())
-    # Non-'p' mesh axes (the beam axis) see replicated particle arrays.
-    other = tuple(a for a in mesh.axis_names if a != axis)
-    spec = P(axis)
-    body = functools.partial(
-        _resample_local, axis=axis, n_global=n
-    )
-    fx, fy, fth = jax.shard_map(
-        lambda lw, x, y, th, u: body(lw, x, y, th, u),
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P()),
-        out_specs=spec,
-        check_vma=False,
-    )(
-        particles.log_weight,
+    # Normalize weak types so jnp.zeros / jnp.full literals share one trace.
+    lw = jnp.asarray(particles.log_weight)
+    lw = jax.lax.convert_element_type(lw, lw.dtype)
+    fx, fy, fth = _resample_sharded_jit(
+        mesh,
+        key,
+        lw,
         particles.pose.x,
         particles.pose.y,
         particles.pose.theta,
-        u0,
+        axis=axis,
     )
     return Particles(
         pose=Pose(x=fx, y=fy, theta=fth),

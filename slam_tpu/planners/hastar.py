@@ -52,7 +52,11 @@ class HAState:
     px: jax.Array  # f32[S] continuous pose of the best entrant
     py: jax.Array
     pth: jax.Array
-    open_mask: jax.Array  # bool[S]
+    # f32[S] open-list priority: g + h for open cells, INF for closed /
+    # never-reached. Maintained INCREMENTALLY at the batch-sized scatter
+    # sites, so a round's only O(S) work is the grouped argmin over this
+    # one array (the full-cuboid `f = g + h` rebuild was most of the round).
+    open_f: jax.Array
     goal_idx: jax.Array  # i32 cuboid index of the first in-tolerance pop (-1)
     goal_cost: jax.Array  # f32
     n_expanded: jax.Array  # i32
@@ -99,16 +103,9 @@ def _ha_round(
     bx, by = goal[0], goal[1]
     thetas, steer_costs = _steering_tables(cfg)
 
-    if cfg.heuristic == "geodesic":
-        # Precomputed obstacle-aware distance-to-goal per cuboid cell.
-        heur = hfield
-    else:
-        heur = jnp.sqrt((st.px - bx) ** 2 + (st.py - by) ** 2)
-    f = jnp.where(st.open_mask, st.g + heur, INF)
-    # Nodes whose heuristic is INF (goal-unreachable region) are dead:
-    # close them so the search terminates instead of popping them forever.
-    open_now = st.open_mask & (f < INF)
-    f = jnp.where(open_now, f, INF)
+    # open_f already holds g + h for open cells (INF = closed / dead):
+    # nothing to rebuild, straight to selection.
+    f = st.open_f
     s = f.shape[0]
     if cfg.selection == "grouped":
         # Best open node per strided index group: one O(S) argmin pass
@@ -131,7 +128,7 @@ def _ha_round(
         raise ValueError(f"unknown selection: {cfg.selection}")
 
     pop_clear = jnp.where(pop_valid, pop, s)  # drop invalid pops
-    open_mask = open_now.at[pop_clear].set(False, mode="drop")
+    open_f = f.at[pop_clear].set(INF, mode="drop")
 
     gx = st.px[pop]
     gy = st.py[pop]
@@ -208,7 +205,20 @@ def _ha_round(
     px = st.px.at[tgt_w].set(nx.reshape(-1), mode="drop")
     py = st.py.at[tgt_w].set(ny.reshape(-1), mode="drop")
     pth = st.pth.at[tgt_w].set(nth.reshape(-1), mode="drop")
-    open_mask = open_mask.at[tgt_w].set(True, mode="drop")
+
+    # Insert priority for winners; an INF heuristic (goal-unreachable
+    # region under the geodesic field) keeps the cell dead, so the search
+    # terminates on exhaustion instead of popping it forever.
+    if cfg.heuristic == "geodesic":
+        hnew = hfield[tgt_f]
+    else:
+        hnew = jnp.sqrt(
+            (nx.reshape(-1) - bx) ** 2 + (ny.reshape(-1) - by) ** 2
+        )
+    fnew = jnp.where((cand_f < INF) & (hnew < INF), cand_f + hnew, INF)
+    # min-combine: reopen closed cells, improve already-open ones (f moves
+    # with g because h is fixed per cell).
+    open_f = open_f.at[tgt_w].min(fnew, mode="drop")
 
     return HAState(
         g=g,
@@ -216,7 +226,7 @@ def _ha_round(
         px=px,
         py=py,
         pth=pth,
-        open_mask=open_mask,
+        open_f=open_f,
         goal_idx=goal_idx,
         goal_cost=goal_cost,
         n_expanded=st.n_expanded + jnp.sum(pop_valid),
@@ -479,7 +489,11 @@ def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
 
     def cond(carry):
         st, rounds = carry
-        return (st.goal_idx < 0) & jnp.any(st.open_mask) & (rounds < max_rounds)
+        return (
+            (st.goal_idx < 0)
+            & jnp.any(st.open_f < INF)
+            & (rounds < max_rounds)
+        )
 
     def body(carry):
         st, rounds = carry
@@ -606,13 +620,17 @@ class HybridAStar:
                 n_expanded=jnp.int32(0),
             )
             return
+        if self.cfg.heuristic == "geodesic":
+            h_start = self._hfield[start_idx]
+        else:
+            h_start = jnp.sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2)
         self.state = HAState(
             g=jnp.full((s,), INF).at[start_idx].set(0.0),
             parent=jnp.full((s,), -1, jnp.int32),
             px=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.x),
             py=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.y),
             pth=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.theta),
-            open_mask=jnp.zeros((s,), bool).at[start_idx].set(True),
+            open_f=jnp.full((s,), INF).at[start_idx].set(h_start),
             goal_idx=jnp.int32(-1),
             goal_cost=INF,
             n_expanded=jnp.int32(0),
@@ -677,7 +695,7 @@ class HybridAStar:
         open_any = (
             jnp.any(self.state.o_f < INF)
             if self.cfg.mode == "lattice"
-            else jnp.any(self.state.open_mask)
+            else jnp.any(self.state.open_f < INF)
         )
         if not bool(open_any):
             self.used_up = True

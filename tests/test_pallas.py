@@ -1,6 +1,10 @@
-"""Pallas kernel tests — TPU only (the kernels use TPU PRNG primitives that
-have no CPU interpreter lowering; moment validation also runs on real
-hardware via benchmarks, see tools/)."""
+"""Pallas kernel tests.
+
+Deterministic kernels (the DMA row gather) are validated EXACTLY in
+interpret mode, so the CPU suite covers the Pallas dimension on every run.
+The motion kernel uses TPU PRNG primitives whose CPU interpreter is a
+stub (returns constant bits — verified empirically), so its moment test
+remains TPU-only."""
 
 import jax
 import numpy as np
@@ -9,6 +13,32 @@ import pytest
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="pallas TPU kernels need a TPU"
 )
+
+
+def test_gather_rows_interpret_exact():
+    """DMA-pipelined row gather == rows[idx], including tail padding and
+    u8 tables (the big-map LUT dtype)."""
+    import jax.numpy as jnp
+
+    from slam_tpu.ops.pano_pallas import gather_rows
+
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.standard_normal((500, 360)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 500, 777).astype(np.int32))
+    out = gather_rows(rows, idx, block=128, slots=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(rows)[np.asarray(idx)])
+
+    rows8 = jnp.asarray(rng.integers(0, 255, (300, 360)).astype(np.uint8))
+    idx8 = jnp.asarray(rng.integers(0, 300, 130).astype(np.int32))
+    out8 = gather_rows(rows8, idx8, block=256, slots=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out8), np.asarray(rows8)[np.asarray(idx8)])
+
+    # Repeated + boundary indices (every slot waits on the right DMA).
+    idx_edge = jnp.asarray([0, 299, 299, 0, 7, 7, 7, 1], jnp.int32)
+    out_e = gather_rows(rows8, idx_edge, block=8, slots=8, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_e), np.asarray(rows8)[np.asarray(idx_edge)]
+    )
 
 
 @requires_tpu
