@@ -223,7 +223,8 @@ def particle_log_weights_lut_fused(
     lut = field.lut
     if lut is None:
         raise ValueError("lut-fused measurement needs field.lut")
-    h, w, n_bins = lut.shape
+    h, w, _stride = lut.shape
+    n_bins = field.lut_bins or _stride
     g = int(beam_stride)
     if g < 1 or n_bins % g != 0:
         raise ValueError(f"beam_stride {g} must divide lut bins {n_bins}")
@@ -240,7 +241,7 @@ def particle_log_weights_lut_fused(
     q = s // g
     r = s % g
 
-    pano, inb = lutlib.panorama_rows(lut, sp.x, sp.y)  # [N, n_bins]
+    pano, inb = lutlib.panorama_rows(lut, sp.x, sp.y, n_bins)  # [N, n_bins]
     if ray_sharding is not None:
         pano = jax.lax.with_sharding_constraint(pano, ray_sharding)
 

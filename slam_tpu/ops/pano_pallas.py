@@ -1,17 +1,28 @@
-"""Pallas/Mosaic DMA-pipelined panorama row gather.
+"""Pallas/Mosaic DMA-pipelined panorama row gather (EXPERIMENT: refuted).
 
 The MCL measurement phase reads one bins-last LUT row per particle
-(`slam_tpu.ops.lut.panorama_rows`). XLA lowers that `rows[idx]` gather at
-~69 ns/row regardless of row size (measured, tools/roofline.py) — 1.3% of
-HBM bandwidth. This kernel replaces it with explicit asynchronous DMAs:
-each grid step owns a block of particles and keeps `slots` row copies
-HBM->VMEM in flight, so per-row latency overlaps instead of serializing
-(`raycast.cpp:225-242` is the semantic ancestor; the row fetch is the TPU
-re-expression of its per-beam map walk).
+(`slam_tpu.ops.lut.panorama_rows`). The hypothesis: XLA's `rows[idx]`
+gather serializes per-row HBM latency, and explicit asynchronous DMAs —
+each grid step owning a block of particles with `slots` row copies
+HBM->VMEM in flight — would hide it (`raycast.cpp:225-242` is the semantic
+ancestor; the row fetch is the TPU re-expression of its per-beam map walk).
 
-The kernel is deterministic, so the CPU test suite validates it exactly in
-interpret mode (tests/test_pallas.py); TPU timing is recorded in
-RESULTS.md.
+Measured on v5e (2026-08, RESULTS.md "Pallas" section): the hypothesis is
+WRONG on both counts.
+  * Mosaic cannot DMA single rows of a 2D HBM table (slices must respect
+    the (8,128)/(32,128) dtype tiling); the kernel only compiles with a
+    fully FLAT layout — 1D source, 1D output, rows padded to 1024-element
+    slices.
+  * The flat variant runs at 77-102 ns/row (u8 1024B rows, 16-64 slots,
+    VMEM or HBM destination) vs XLA's 60 ns/row on the same table — and
+    XLA does aligned bf16/f32 1KB rows at 34 ns/row. XLA's gather lowering
+    already pipelines row fetches at the DMA-issue floor.
+
+The useful discovery was the ALIGNMENT sensitivity (360-bin rows gather
+1.6-1.8x slower than padded ones), productionized as `lut.pad_lut_rows` —
+pure XLA, no kernel. This module stays as the documented experiment; the
+kernel is deterministic and the CPU suite validates it in interpret mode
+(tests/test_pallas.py).
 """
 
 from __future__ import annotations

@@ -31,7 +31,15 @@ from slam_tpu.ops.raycast import raycast_march, raycast_sdf
 class RayField:
     blocked: jax.Array  # bool[H, W]
     edt: Optional[jax.Array] = None  # f32[H, W] (sdf backend)
-    lut: Optional[jax.Array] = None  # [K, H, W] (lut backend)
+    # [H, W, P] bins-last table; P >= lut_bins is the STORAGE width. Rows
+    # are stored UNPADDED: aligned padding (lut.pad_lut_rows) speeds the
+    # row gather 1.8x on uniform-random indices but SLOWS the real MCL
+    # step 1.4x — converged particles cluster on few cells, and aligned
+    # hot rows collide where the odd 720 B stride spreads them
+    # (RESULTS.md "Pallas" section; measured A/B on v5e).
+    lut: Optional[jax.Array] = None
+    # Semantic angular bin count (static: part of the jit cache key).
+    lut_bins: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self):
@@ -75,7 +83,7 @@ def make_ray_field(
                     if rc.lut_dtype == "bf16"
                     else lut_np
                 )
-                return RayField(blocked=blocked, lut=lut)
+                return RayField(blocked=blocked, lut=lut, lut_bins=rc.lut_bins)
         lut = lutlib.build_beam_lut(
             blocked, n_bins=rc.lut_bins, max_dist=rc.max_dist, dtype=dtype
         )
@@ -86,7 +94,7 @@ def make_ray_field(
             if host_lut.dtype == jnp.bfloat16:
                 host_lut = host_lut.view(np.uint16)
             np.save(path, host_lut)
-        return RayField(blocked=blocked, lut=lut)
+        return RayField(blocked=blocked, lut=lut, lut_bins=rc.lut_bins)
     raise ValueError(f"unknown raycast backend: {rc.backend}")
 
 
@@ -133,7 +141,10 @@ def raycast_field(field: RayField, x, y, theta, rc: RaycastConfig):
     if rc.backend == "lut":
         if field.lut is None:
             raise ValueError("lut backend needs field.lut")
-        return lutlib.raycast_lut(field.lut, x, y, theta, max_dist=rc.max_dist)
+        return lutlib.raycast_lut(
+            field.lut, x, y, theta, max_dist=rc.max_dist,
+            n_bins=field.lut_bins,
+        )
     raise ValueError(f"unknown raycast backend: {rc.backend}")
 
 

@@ -244,6 +244,11 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
       cost     [K, E]  edge cost
       seg      [K, E, T, 2] integer cell shifts sampled along each edge
                          (feeds the shifted-AND feasibility maps)
+      inv_off  [K, E]  flat_off of the edge-e predecessor of a node in bin
+                       k (each edge shifts the theta bin by a constant, so
+                       (target bin, edge) determines the source bin) — lets
+                       the parent CHAIN be recovered from the 3-bit edge id
+                       stored in the packed cost word, with no parent array.
     """
     h, w = shape
     k = cfg.theta_res
@@ -257,6 +262,7 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
     di_t = np.zeros((k, e), np.int32)
     dj_t = np.zeros((k, e), np.int32)
     cost_t = np.zeros((k, e), np.float32)
+    nk_t = np.zeros((k, e), np.int32)
     seg = np.zeros((k, e, n_samples, 2), np.int32)
     binw = 2.0 * math.pi / k
     for kk in range(k):
@@ -274,11 +280,19 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
                 di_t[kk, ei] = di
                 dj_t[kk, ei] = dj
                 cost_t[kk, ei] = cfg.velocity + steer_costs[si] * cfac[vi]
+                nk_t[kk, ei] = nk
                 for t in range(n_samples):
                     f = (t + 1) / n_samples
                     seg[kk, ei, t, 0] = math.floor(0.5 - f * dy)  # di
                     seg[kk, ei, t, 1] = math.floor(0.5 + f * dx)  # dj
                 ei += 1
+    # Inverse adjacency: edge ei maps source bin kk -> target bin
+    # nk_t[kk, ei] bijectively (constant heading shift), so invert it.
+    inv_off = np.zeros((k, e), np.int32)
+    for ei in range(e):
+        assert len(set(nk_t[:, ei])) == k, "edge bin shift must be a bijection"
+        for kk in range(k):
+            inv_off[nk_t[kk, ei], ei] = flat_off[kk, ei]
     # Lattice validity: snapping headings to bin centers means rotation
     # only accumulates in whole bins — max-steer edges must cross a bin
     # boundary, i.e. (v/L)*tan(max_steering) >= half the bin width, or the
@@ -291,7 +305,17 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
             f"deg cannot cross a {math.degrees(binw):.1f}-deg theta bin; "
             f"raise theta_res to >= {need} (or use mode='continuous')"
         )
-    return flat_off, di_t, dj_t, cost_t, seg
+    return flat_off, di_t, dj_t, cost_t, seg, inv_off
+
+
+# Packed lattice cost word: i32 = (g quantized to 1/_G_SCALE) << _EDGE_BITS
+# | parent edge id. One scatter-min commits cost AND parent together (the
+# low bits only break exact-g ties, deterministically); one [S] i32 carry
+# replaces the separate g f32 + parent i32 arrays. 2^(31-_EDGE_BITS) /
+# _G_SCALE caps representable path cost at ~4.2e6 map units.
+_EDGE_BITS = 3
+_G_SCALE = 64.0
+_INF_PACKED = np.int32(2**31 - 1)
 
 
 def _lattice_feasibility(free: jax.Array, seg: np.ndarray):
@@ -338,14 +362,18 @@ def _lattice_feasibility(free: jax.Array, seg: np.ndarray):
 
 @struct.dataclass
 class LatticeState:
-    """Lattice-mode search state: cuboid cost/parent plus a COMPACT open
-    list — a [capacity] ring of (cuboid idx, f) entries holding every
-    not-yet-popped g-improvement. Selection scans the list, never the
-    cuboid: per-round cost is O(capacity + batch*E), independent of map
-    size (the full-cuboid f-pass was ~95% of the round at theta_res=36)."""
+    """Lattice-mode search state: one packed cost/parent-edge word per
+    cuboid cell plus a COMPACT open list — a [capacity] ring of (cuboid
+    idx, f) entries holding every not-yet-popped g-improvement. Selection
+    scans the list, never the cuboid: per-round cost is
+    O(capacity + batch*E), independent of map size (the full-cuboid f-pass
+    was ~95% of the round at theta_res=36). The round is latency-, not
+    compute-, bound, so the design minimizes the op dependency chain: one
+    i32 scatter-min commits (g, parent edge) together, feasibility is one
+    u8 scalar gather per pop (bit per edge), and there is no post-scatter
+    winner readback (stale ring entries die by lazy deletion)."""
 
-    g: jax.Array  # f32[S]
-    parent: jax.Array  # i32[S]
+    gp: jax.Array  # i32[S] packed (g << _EDGE_BITS | edge); _INF_PACKED=unset
     o_idx: jax.Array  # i32[C] cuboid index per open entry
     o_f: jax.Array  # f32[C] f = g + h at insert time (INF = empty slot)
     wp: jax.Array  # i32 ring write pointer (total insertions)
@@ -355,16 +383,16 @@ class LatticeState:
 
 
 def _lattice_round(
-    st: LatticeState, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin,
-    hfield, cfg, shape,
+    st: LatticeState, feas_bits, flat_off, di_t, dj_t, cost_q, goal,
+    target_bin, hfield, cfg, shape,
 ):
     """One batched expansion over the compact open list."""
     h, w = shape
-    hw = h * w
     kbins = cfg.theta_res
     kpop = cfg.batch
-    s = st.g.shape[0]
+    s = st.gp.shape[0]
     c = st.o_f.shape[0]
+    inv_scale = np.float32(1.0 / _G_SCALE)
 
     # Grouped best-of pops from the [C] list (not the [S] cuboid).
     f2 = st.o_f.reshape(-1, kpop)  # capacity is a multiple of batch
@@ -377,16 +405,16 @@ def _lattice_round(
     o_f = st.o_f.at[jnp.where(pop_valid, pos, c)].set(INF, mode="drop")
 
     cell = pop // kbins
+    gq = st.gp[pop] >> _EDGE_BITS  # i32 quantized g
+    gg = gq.astype(jnp.float32) * inv_scale
     # Lazy deletion (`slam/hastar.cpp:172-176`): an entry whose node's g
-    # improved after insertion is stale — skip its expansion entirely
-    # (two [batch] gathers save six successor lanes of work per stale pop).
+    # improved after insertion is stale — skip its expansion entirely.
     # hfield is per-CELL [H*W] in lattice mode (theta-independent).
-    fresh = fpop <= st.g[pop] + hfield[cell] + 1e-3
+    fresh = fpop <= gg + hfield[cell] + 1e-3
     pop_valid = pop_valid & fresh
     kk = pop % kbins
     i = cell // w
     j = cell % w
-    gg = st.g[pop]
 
     # Goal test on the cell-center pose.
     cx = j.astype(jnp.float32) + 0.5
@@ -405,48 +433,46 @@ def _lattice_round(
     ni = i[:, None] + di_t[kk]
     nj = j[:, None] + dj_t[kk]
     inb = (ni >= 0) & (ni < h) & (nj >= 0) & (nj < w)
-    # Feasibility: ONE contiguous [K*E]-byte row per pop + one-hot bin
-    # select. Scalar sub-word gathers at (etype, cell) cost ~0.5us EACH on
-    # TPU (13 ms/round measured); the row gather + dense select is ~100x
-    # cheaper — the same restructuring as the measurement panorama.
-    frows = feas[cell]  # [batch, K*E] u8
     e_n = di_t.shape[1]
-    clear = (
-        jnp.einsum(
-            "pke,pk->pe",
-            frows.reshape(-1, kbins, e_n).astype(jnp.float32),
-            jax.nn.one_hot(kk, kbins, dtype=jnp.float32),
-        )
-        > 0.5
-    )
-    ok = inb & clear & pop_valid[:, None]
+    # Feasibility: one u8 gather per pop (edge e of node n is bit e of
+    # feas_bits[n]). Scalar sub-word gathers at (etype, cell) cost ~0.5us
+    # EACH on TPU; a [K*E]-byte row gather per pop was ~1.1us/row; one
+    # byte per pop is the floor.
+    fb = feas_bits[pop].astype(jnp.int32)  # [batch]
+    clear = (fb[:, None] >> jnp.arange(e_n, dtype=jnp.int32)[None, :]) & 1
+    ok = inb & (clear > 0) & pop_valid[:, None]
 
     tgt = jnp.clip(pop[:, None] + off, 0, s - 1)
-    cand = jnp.where(ok, gg[:, None] + cost_t[kk], INF)
-    cand = jnp.where(cand < st.g[tgt], cand, INF)
-
-    tgt_f = tgt.reshape(-1)
-    cand_f = cand.reshape(-1)
-    g = st.g.at[tgt_f].min(cand_f)
-    won = (cand_f <= g[tgt_f]) & (cand_f < INF)
-    tgt_w = jnp.where(won, tgt_f, 2 ** 30)
-    parent = st.parent.at[tgt_w].set(
-        jnp.broadcast_to(pop[:, None], cand.shape).reshape(-1), mode="drop"
+    candq = gq[:, None] + cost_q[kk]  # i32 [batch, E]
+    # Improvements only, against the pre-scatter table; a same-round
+    # duplicate that loses the scatter-min leaves a stale ring entry that
+    # lazy deletion skips (no post-scatter readback on the chain).
+    imp = ok & (candq < (st.gp[tgt] >> _EDGE_BITS))
+    edge_ids = jnp.arange(e_n, dtype=jnp.int32)[None, :]
+    packed = jnp.where(
+        imp, (candq << _EDGE_BITS) | edge_ids, _INF_PACKED
     )
 
-    # Insert winners: compact to consecutive ring slots. Dead (goal-
+    tgt_f = tgt.reshape(-1)
+    packed_f = packed.reshape(-1)
+    gp = st.gp.at[tgt_f].min(packed_f)
+
+    # Insert improvements: compact to consecutive ring slots. Dead (goal-
     # unreachable, h == INF) successors are not inserted, so the search
     # terminates on exhaustion.
-    fnew = cand_f + hfield[tgt_f // kbins]
-    insert = won & (fnew < INF)
+    imp_f = imp.reshape(-1)
+    fnew = (
+        (candq.reshape(-1).astype(jnp.float32)) * inv_scale
+        + hfield[tgt_f // kbins]
+    )
+    insert = imp_f & (fnew < INF)
     rank = jnp.cumsum(insert.astype(jnp.int32)) - 1
     slot = jnp.where(insert, (st.wp + rank) % c, c)
     o_idx = st.o_idx.at[slot].set(tgt_f, mode="drop")
     o_f = o_f.at[slot].set(fnew, mode="drop")
 
     return st.replace(
-        g=g,
-        parent=parent,
+        gp=gp,
         o_idx=o_idx,
         o_f=o_f,
         wp=st.wp + jnp.sum(insert),
@@ -454,6 +480,88 @@ def _lattice_round(
         goal_cost=goal_cost,
         n_expanded=st.n_expanded + jnp.sum(pop_valid),
     )
+
+
+def _coarse_geodesic_cells(free, bx, by, cfg, shape):
+    """Per-cell [H*W] goal-distance heuristic: the A* wavefront on a
+    `coarse`-downsampled grid (max-pooled free space -> admissible
+    underestimate), tiled back to full resolution. Pure/traceable."""
+    from slam_tpu.planners import astar as astar_mod
+
+    h, w = shape
+    f4 = max(1, cfg.coarse)
+    ph = (-h) % f4
+    pw = (-w) % f4
+    fpad = jnp.pad(free, ((0, ph), (0, pw)))
+    free_c = fpad.reshape((h + ph) // f4, f4, (w + pw) // f4, f4).any((1, 3))
+    gi = jnp.clip(jnp.floor(h - by - 1.0).astype(jnp.int32), 0, h - 1) // f4
+    gj = jnp.clip(jnp.floor(bx).astype(jnp.int32), 0, w - 1) // f4
+    dc = astar_mod.distance_field(free_c, jnp.stack([gi, gj]))
+    h2d = jnp.repeat(jnp.repeat(dc * f4, f4, 0), f4, 1)[:h, :w]
+    return jnp.minimum(h2d, INF).reshape(-1)
+
+
+def _lattice_query_init(free, a_xyt, b_xyt, cfg, shape, cap):
+    """Whole lattice reset_query as ONE device program: start/goal
+    indexing, the geodesic heuristic build (its own while_loop), and the
+    initial state fills. Eagerly this was ~10 dispatches per query — tens
+    of ms of tunnel round trips, comparable to the solve itself."""
+    h, w = shape
+    k = cfg.theta_res
+    s = h * w * k
+    start_idx = _pose_to_cuboid(shape, k, a_xyt[0], a_xyt[1], a_xyt[2])
+    target_bin = (
+        _pose_to_cuboid(shape, k, b_xyt[0], b_xyt[1], b_xyt[2]) % k
+    ).astype(jnp.int32)
+    goal = b_xyt[:2]
+    if cfg.heuristic == "geodesic":
+        hfield = _coarse_geodesic_cells(free, b_xyt[0], b_xyt[1], cfg, shape)
+    else:
+        ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        d = jnp.sqrt(
+            (jj + 0.5 - b_xyt[0]) ** 2 + ((h - ii) - 0.5 - b_xyt[1]) ** 2
+        )
+        hfield = d.reshape(-1)
+    state = LatticeState(
+        gp=jnp.full((s,), _INF_PACKED, jnp.int32).at[start_idx].set(0),
+        o_idx=jnp.zeros((cap,), jnp.int32)
+        .at[0]
+        .set(start_idx.astype(jnp.int32)),
+        o_f=jnp.full((cap,), INF).at[0].set(hfield[start_idx // k]),
+        wp=jnp.int32(1),
+        goal_idx=jnp.int32(-1),
+        goal_cost=jnp.float32(INF),
+        n_expanded=jnp.int32(0),
+    )
+    return goal, target_bin, hfield, state
+
+
+_lattice_query_init_jit = jax.jit(
+    _lattice_query_init, static_argnums=(3, 4, 5)
+)
+
+
+def _lattice_solve_query(
+    free, a_xyt, b_xyt, feas, flat_off, di_t, dj_t, cost_q, max_rounds,
+    cfg, shape, cap,
+):
+    """Fresh query end-to-end (init + full search) as ONE device program —
+    on a tunneled TPU each dispatch is a host round trip that can rival
+    the whole search time."""
+    goal, target_bin, hfield, st = _lattice_query_init(
+        free, a_xyt, b_xyt, cfg, shape, cap
+    )
+    st = _lattice_solve(
+        st, feas, flat_off, di_t, dj_t, cost_q, goal, target_bin, hfield,
+        max_rounds, cfg, shape,
+    )
+    return goal, target_bin, hfield, st
+
+
+_lattice_solve_query_jit = jax.jit(
+    _lattice_solve_query, static_argnums=(9, 10, 11)
+)
 
 
 def _lattice_solve(
@@ -470,13 +578,15 @@ def _lattice_solve(
 
     def body(carry):
         st, rounds = carry
-        return (
-            _lattice_round(
+        # 2 rounds per loop iteration: halves the per-iteration carry
+        # pass + cond scan (the loop is latency-, not compute-, bound).
+        # An extra round past the goal is harmless — goal_idx latches.
+        for _ in range(2):
+            st = _lattice_round(
                 st, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin,
                 hfield, cfg, shape,
-            ),
-            rounds + 1,
-        )
+            )
+        return st, rounds + 2
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st
@@ -561,21 +671,37 @@ class HybridAStar:
             # No raycasts in lattice mode: feasibility is precomputed as
             # shifted-AND maps; the ray field build is skipped entirely.
             self.field = RayField(blocked=~free)
-            flat_off, di_t, dj_t, cost_t, seg = _lattice_tables(
+            flat_off, di_t, dj_t, cost_t, seg, inv_off = _lattice_tables(
                 self.cfg, self.shape
             )
-            # Cell-major u8 layout [H*W, K*E]: the round gathers one
-            # contiguous row per pop (see _lattice_round).
-            self._lat_feas = jnp.asarray(
-                _lattice_feasibility(free, seg)
-                .reshape(-1, self.shape[0] * self.shape[1])
-                .T,
-                jnp.uint8,
-            )
+            e_n = di_t.shape[1]
+            if e_n > (1 << _EDGE_BITS):
+                raise ValueError(
+                    f"lattice mode packs the parent edge in {_EDGE_BITS} "
+                    f"bits; branching_factor {self.cfg.branching_factor} "
+                    f"needs {e_n} edge ids"
+                )
+            # Bit-packed cuboid-major u8 [S]: bit e of word n = edge e is
+            # feasible from node n (one scalar gather per pop in the round).
+            feas = _lattice_feasibility(free, seg)  # [K*E, H, W] bool
+
+            @jax.jit
+            def pack_bits(feas):
+                k = self.cfg.theta_res
+                hw = self.shape[0] * self.shape[1]
+                f = feas.reshape(k, e_n, hw).astype(jnp.uint8)
+                weights = (1 << jnp.arange(e_n, dtype=jnp.uint8))[None, :, None]
+                bits = jnp.sum(f * weights, axis=1, dtype=jnp.uint8)  # [K, HW]
+                return bits.T.reshape(-1)  # [HW*K] cuboid-major
+
+            self._lat_feas = pack_bits(feas)
             self._lat_off = jnp.asarray(flat_off)
             self._lat_di = jnp.asarray(di_t)
             self._lat_dj = jnp.asarray(dj_t)
-            self._lat_cost = jnp.asarray(cost_t)
+            self._lat_cost = jnp.asarray(
+                np.round(cost_t * _G_SCALE).astype(np.int32)
+            )
+            self._lat_inv_off = inv_off  # host-side (path recovery)
         else:
             self.field = make_ray_field(~free, self.rc)
         self.reset_query(a, b)
@@ -590,9 +716,18 @@ class HybridAStar:
         self.success = False
         self.used_up = False
 
-        thetas, steer_costs = _steering_tables(self.cfg)
-        self._thetas = jnp.asarray(thetas)
-        self._steer_costs = jnp.asarray(steer_costs)
+        if self.cfg.mode == "lattice":
+            # Pose is implied by the cuboid index; the frontier lives in a
+            # compact ring (see LatticeState) seeded with the start node.
+            # Reset is LAZY: `solve` on a fresh query fuses init + search
+            # into one device program (one dispatch); the incremental
+            # `pathfind` API materializes the state first.
+            self._pending = (
+                jnp.asarray([a.x, a.y, a.theta], jnp.float32),
+                jnp.asarray([b.x, b.y, b.theta], jnp.float32),
+            )
+            self.state = None
+            return
 
         start_idx = self._pose_to_cuboid(a.x, a.y, a.theta)
         self._target_bin = jnp.asarray(
@@ -600,26 +735,6 @@ class HybridAStar:
         )
         self._goal = jnp.asarray([b.x, b.y], jnp.float32)
         self._hfield = self._build_hfield(self._free, b)
-        if self.cfg.mode == "lattice":
-            # Pose is implied by the cuboid index; the frontier lives in a
-            # compact ring (see LatticeState) seeded with the start node.
-            c = -(-max(self.cfg.open_capacity, self.cfg.batch)
-                  // self.cfg.batch) * self.cfg.batch
-            self.state = LatticeState(
-                g=jnp.full((s,), INF).at[start_idx].set(0.0),
-                parent=jnp.full((s,), -1, jnp.int32),
-                o_idx=jnp.zeros((c,), jnp.int32)
-                .at[0]
-                .set(jnp.asarray(start_idx, jnp.int32)),
-                o_f=jnp.full((c,), INF)
-                .at[0]
-                .set(self._hfield[start_idx // k]),
-                wp=jnp.int32(1),
-                goal_idx=jnp.int32(-1),
-                goal_cost=INF,
-                n_expanded=jnp.int32(0),
-            )
-            return
         if self.cfg.heuristic == "geodesic":
             h_start = self._hfield[start_idx]
         else:
@@ -637,47 +752,41 @@ class HybridAStar:
         )
 
     def _build_hfield(self, free: jax.Array, b: Pose) -> jax.Array:
-        """Heuristic table per cuboid cell. "geodesic" runs the A* wavefront
-        to the goal on a `coarse`-downsampled grid (max-pooled free space,
-        so distances underestimate -> admissible) and tiles it over theta
-        bins; "euclid" returns a dummy (computed in-round)."""
-        h, w = self.shape
+        """Heuristic table per cuboid cell (continuous mode; the lattice
+        reset builds its per-cell field inside `_lattice_query_init`).
+        "geodesic" runs the A* wavefront to the goal on a
+        `coarse`-downsampled grid (max-pooled free space, so distances
+        underestimate -> admissible) and tiles it over theta bins;
+        "euclid" returns a dummy (computed in-round)."""
         if self.cfg.heuristic != "geodesic":
-            if self.cfg.mode != "lattice":
-                return jnp.zeros((1,), jnp.float32)
-            # Lattice consumes a per-CELL [H*W] table: Euclid field.
-            ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-            jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-            cx = jj + 0.5
-            cy = (h - ii) - 0.5
-            d = jnp.sqrt((cx - b.x) ** 2 + (cy - b.y) ** 2)
-            return d.reshape(-1)
-        from slam_tpu.planners import astar as astar_mod
-
-        k = self.cfg.theta_res
-        f4 = max(1, self.cfg.coarse)
-        ph = (-h) % f4
-        pw = (-w) % f4
-        fpad = jnp.pad(free, ((0, ph), (0, pw)))
-        free_c = fpad.reshape((h + ph) // f4, f4, (w + pw) // f4, f4).any((1, 3))
-        gi = jnp.clip(jnp.floor(h - b.y - 1.0).astype(jnp.int32), 0, h - 1) // f4
-        gj = jnp.clip(jnp.floor(b.x).astype(jnp.int32), 0, w - 1) // f4
-        dc = astar_mod.distance_field(free_c, jnp.stack([gi, gj]))
-        h2d = jnp.repeat(jnp.repeat(dc * f4, f4, 0), f4, 1)[:h, :w]
-        h2d = jnp.minimum(h2d, INF)
-        if self.cfg.mode == "lattice":
-            return h2d.reshape(-1)  # per-cell; theta-independent
-        return jnp.repeat(h2d.reshape(-1), k)
-
-
+            return jnp.zeros((1,), jnp.float32)
+        cells = _coarse_geodesic_cells(free, b.x, b.y, self.cfg, self.shape)
+        return jnp.repeat(cells, self.cfg.theta_res)
 
     # -- driver -----------------------------------------------------------
+
+    def _ring_capacity(self) -> int:
+        return -(-max(self.cfg.open_capacity, self.cfg.batch)
+                 // self.cfg.batch) * self.cfg.batch
+
+    def _ensure_query_state(self):
+        """Materialize the lazy lattice query state (incremental API /
+        fleet stacking; `solve` on a fresh query skips this and fuses)."""
+        if self.cfg.mode == "lattice" and self.state is None:
+            a_xyt, b_xyt = self._pending
+            (self._goal, self._target_bin, self._hfield, self.state) = (
+                _lattice_query_init_jit(
+                    self._free, a_xyt, b_xyt, self.cfg, self.shape,
+                    self._ring_capacity(),
+                )
+            )
 
     def pathfind(self) -> bool:
         """One batched round; True when finished (`slam/hastar.cpp:152-214`
         returns True on success/exhaustion)."""
         if self.success or self.used_up:
             return True
+        self._ensure_query_state()
         if self.cfg.mode == "lattice":
             self.state = _lattice_round_jit(
                 self.state, self._lat_feas, self._lat_off, self._lat_di,
@@ -705,11 +814,24 @@ class HybridAStar:
     def solve(self, max_rounds: Optional[int] = None) -> bool:
         max_rounds = max_rounds or self.cfg.max_rounds
         if self.cfg.mode == "lattice":
-            self.state = _lattice_solve_jit(
-                self.state, self._lat_feas, self._lat_off, self._lat_di,
-                self._lat_dj, self._lat_cost, self._goal, self._target_bin,
-                self._hfield, jnp.int32(max_rounds), self.cfg, self.shape,
-            )
+            if self.state is None:
+                # Fresh query: init + search in one fused dispatch.
+                a_xyt, b_xyt = self._pending
+                (self._goal, self._target_bin, self._hfield, self.state) = (
+                    _lattice_solve_query_jit(
+                        self._free, a_xyt, b_xyt, self._lat_feas,
+                        self._lat_off, self._lat_di, self._lat_dj,
+                        self._lat_cost, jnp.int32(max_rounds), self.cfg,
+                        self.shape, self._ring_capacity(),
+                    )
+                )
+            else:
+                self.state = _lattice_solve_jit(
+                    self.state, self._lat_feas, self._lat_off, self._lat_di,
+                    self._lat_dj, self._lat_cost, self._goal,
+                    self._target_bin, self._hfield, jnp.int32(max_rounds),
+                    self.cfg, self.shape,
+                )
         else:
             self.state = _ha_solve_jit(
                 self.state,
@@ -744,6 +866,7 @@ class HybridAStar:
         states, goals, tbins, hfields = [], [], [], []
         for a, b in queries:
             self.reset_query(a, b)
+            self._ensure_query_state()
             states.append(self.state)
             goals.append(self._goal)
             tbins.append(self._target_bin)
@@ -773,16 +896,31 @@ class HybridAStar:
 
     def recover_path(self) -> List[Tuple[int, int]]:
         """Parent-chain walk returning image coords
-        (`slam/hastar.cpp:216-232`)."""
+        (`slam/hastar.cpp:216-232`). Lattice mode stores no parent array:
+        the chain follows the per-node parent EDGE id (low bits of the
+        packed cost word) back through the inverse steering table."""
         if not self.success:
             return []
-        parent = np.asarray(self.state.parent)
         k = self.cfg.theta_res
         w = self.shape[1]
         path = []
         idx = int(self.state.goal_idx)
         start_idx = int(np.asarray(self._pose_to_cuboid(self.a.x, self.a.y, self.a.theta)))
         seen = 0
+        if self.cfg.mode == "lattice":
+            gp = np.asarray(self.state.gp)
+            emask = (1 << _EDGE_BITS) - 1
+            while idx >= 0 and idx != start_idx and seen <= len(gp):
+                word = int(gp[idx])
+                if word == int(_INF_PACKED):
+                    break
+                cell = idx // k
+                path.append((cell // w, cell % w))
+                idx = idx - int(self._lat_inv_off[idx % k, word & emask])
+                seen += 1
+            path.reverse()
+            return path
+        parent = np.asarray(self.state.parent)
         while idx >= 0 and idx != start_idx and seen <= len(parent):
             cell = idx // k
             path.append((cell // w, cell % w))

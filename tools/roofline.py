@@ -133,11 +133,12 @@ def main():
             fence(out)
 
     n = args.particles
-    n_bins = field.lut.shape[-1]
+    n_bins = field.lut_bins or field.lut.shape[-1]
     lut_bytes = jnp.dtype(field.lut.dtype).itemsize
     g = cfg.lut_beam_stride
     m = n_bins // g
-    meas_bytes = n * n_bins * lut_bytes + n * 4
+    # The gather reads the full PADDED storage row per particle.
+    meas_bytes = n * field.lut.shape[-1] * lut_bytes + n * 4
     meas_flops = 2 * n * m * (g + 2 * m)
     gbps = meas_bytes / t_meas / 1e9
     sol_ms = meas_bytes / (PEAK_HBM_GBPS * 1e9) * 1e3
