@@ -217,6 +217,14 @@ class HybridAStarConfig:
     # not-yet-popped g-improvement, so it must exceed the number of
     # improvements in flight (frontier width), not the cuboid size.
     open_capacity: int = 1 << 18
+    # Lattice expansion depth: 2 adds the E^2 two-edge macro successors
+    # per pop (pair feasibility precomputed as shifted-ANDs), advancing
+    # the frontier two steps per round. MEASURED SLOWER on v5e (194 ->
+    # 675 ms on the floor-plan benchmark): the 7x-wider candidate fan
+    # scatters mostly-duplicate targets and floods the open ring, costing
+    # more than the saved rounds. Kept for maps where rounds dominate
+    # (long corridors, sparse frontiers).
+    lattice_depth: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -305,7 +305,47 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
             f"deg cannot cross a {math.degrees(binw):.1f}-deg theta bin; "
             f"raise theta_res to >= {need} (or use mode='continuous')"
         )
-    return flat_off, di_t, dj_t, cost_t, seg, inv_off
+    return flat_off, di_t, dj_t, cost_t, seg, inv_off, nk_t
+
+
+def _lattice_lane_tables(cfg, flat_off, di_t, dj_t, cost_t, nk_t):
+    """Expansion LANES per theta bin: the E single edges, plus — at
+    `lattice_depth=2` — all E^2 two-edge macro successors (`(e1, e2)`:
+    target = n + off[k, e1] + off[nk(k, e1), e2]). Macro edges advance the
+    frontier two steps per round, halving the round count (the search is
+    depth-, not work-, limited on TPU); the stored parent edge of a macro
+    commit is e2, and its intermediate is always also committed via its
+    own depth-1 lane, so parent-chain recovery is unchanged.
+
+    Returns (off, di, dj, cost, edge) each [K, L] / [L]."""
+    k, e = flat_off.shape
+    if cfg.lattice_depth == 1:
+        return flat_off, di_t, dj_t, cost_t, np.arange(e, dtype=np.int32)
+    if cfg.lattice_depth != 2:
+        raise ValueError(f"lattice_depth must be 1 or 2, got {cfg.lattice_depth}")
+    l2 = e * e
+    off2 = np.zeros((k, l2), np.int32)
+    di2 = np.zeros((k, l2), np.int32)
+    dj2 = np.zeros((k, l2), np.int32)
+    cost2 = np.zeros((k, l2), np.float32)
+    edge2 = np.zeros((l2,), np.int32)
+    for e1 in range(e):
+        for e2 in range(e):
+            p = e1 * e + e2
+            edge2[p] = e2
+            for kk in range(k):
+                k1 = nk_t[kk, e1]
+                off2[kk, p] = flat_off[kk, e1] + flat_off[k1, e2]
+                di2[kk, p] = di_t[kk, e1] + di_t[k1, e2]
+                dj2[kk, p] = dj_t[kk, e1] + dj_t[k1, e2]
+                cost2[kk, p] = cost_t[kk, e1] + cost_t[k1, e2]
+    return (
+        np.concatenate([flat_off, off2], 1),
+        np.concatenate([di_t, di2], 1),
+        np.concatenate([dj_t, dj2], 1),
+        np.concatenate([cost_t, cost2], 1),
+        np.concatenate([np.arange(e, dtype=np.int32), edge2]),
+    )
 
 
 # Packed lattice cost word: i32 = (g quantized to 1/_G_SCALE) << _EDGE_BITS
@@ -318,44 +358,78 @@ _G_SCALE = 64.0
 _INF_PACKED = np.int32(2**31 - 1)
 
 
-def _lattice_feasibility(free: jax.Array, seg: np.ndarray):
-    """bool[K*E, H, W] per-edge-type clearance maps: cell (i, j) may take
-    edge (k, e) iff every sampled segment cell is free and in bounds —
-    computed as an AND of integer-shifted copies of the free mask (no
-    raycasts; the "precomputed edge feasibility rolls").
+def _lattice_feas_words(
+    free: jax.Array, seg: np.ndarray, di_t, dj_t, nk_t, cfg
+):
+    """u32[S, W] per-node lane-feasibility words (bit l%32 of word l//32 =
+    expansion lane l is clear from node n). Lane l < E is single edge
+    (k, l): every sampled segment cell free and in bounds — an AND of
+    integer-shifted copies of the free mask (no raycasts; the "precomputed
+    edge feasibility rolls"). At lattice_depth=2, lane E + e1*E + e2 is
+    the macro edge: edge e1 clear at n AND edge e2 clear at the
+    intermediate (a shifted copy of the e2 map; out-of-bounds
+    intermediates land False automatically).
 
-    The whole build runs as ONE jitted program: the K*E*T static-shift loop
-    would otherwise dispatch thousands of tiny eager device ops (minutes of
-    round trips on a tunneled TPU)."""
+    The whole build runs as ONE jitted program: the static-shift loops
+    would otherwise dispatch thousands of tiny eager device ops (minutes
+    of round trips on a tunneled TPU)."""
     h, w = free.shape
     k, e, t, _ = seg.shape
+    lanes_n = e if cfg.lattice_depth == 1 else e + e * e
+    words = -(-lanes_n // 32)
 
     @jax.jit
     def build(free):
         free = jnp.asarray(free, bool)
 
-        def shifted(di, dj):
-            # free[i + di, j + dj] with out-of-bounds -> False.
+        def shifted(arr, di, dj):
+            # arr[i + di, j + dj] with out-of-bounds -> False.
             out = jnp.zeros((h, w), bool)
             src_i = slice(max(di, 0), h + min(di, 0))
             src_j = slice(max(dj, 0), w + min(dj, 0))
             dst_i = slice(max(-di, 0), h + min(-di, 0))
             dst_j = slice(max(-dj, 0), w + min(-dj, 0))
-            return out.at[dst_i, dst_j].set(free[src_i, src_j])
+            return out.at[dst_i, dst_j].set(arr[src_i, src_j])
 
         # Dedup identical shifts across all (k, e, t) to one pass each.
         maps = {}
-        feas = []
+        F = [[None] * e for _ in range(k)]
         for kk in range(k):
             for ei in range(e):
                 acc = None
                 for ti in range(t):
                     key = (int(seg[kk, ei, ti, 0]), int(seg[kk, ei, ti, 1]))
                     if key not in maps:
-                        maps[key] = shifted(*key)
+                        maps[key] = shifted(free, *key)
                     acc = maps[key] if acc is None else (acc & maps[key])
-                feas.append(acc)
-        return jnp.stack(feas).reshape(k * e, h, w)
+                F[kk][ei] = acc
+
+        per_k_words = []
+        for kk in range(k):
+            lanes = list(F[kk])
+            if cfg.lattice_depth == 2:
+                for e1 in range(e):
+                    d1i = int(di_t[kk, e1])
+                    d1j = int(dj_t[kk, e1])
+                    k1 = int(nk_t[kk, e1])
+                    for e2 in range(e):
+                        lanes.append(F[kk][e1] & shifted(F[k1][e2], d1i, d1j))
+            wk = []
+            for wi in range(words):
+                acc = jnp.zeros((h, w), jnp.uint32)
+                for b in range(32):
+                    ll = wi * 32 + b
+                    if ll < lanes_n:
+                        acc = acc | (lanes[ll].astype(jnp.uint32) << b)
+                wk.append(acc)
+            per_k_words.append(jnp.stack(wk))  # [W, H, W]
+        allw = jnp.stack(per_k_words)  # [K, Wn, H, W]
+        # Node-major [S, Wn], S = cell*K + k: one tiny row gather per pop.
+        return (
+            allw.reshape(k, words, h * w)
+            .transpose(2, 0, 1)
+            .reshape(h * w * k, words)
+        )
 
     return build(free)
 
@@ -383,10 +457,12 @@ class LatticeState:
 
 
 def _lattice_round(
-    st: LatticeState, feas_bits, flat_off, di_t, dj_t, cost_q, goal,
+    st: LatticeState, feasw, off_t, di_t, dj_t, cost_q, edge_t, goal,
     target_bin, hfield, cfg, shape,
 ):
-    """One batched expansion over the compact open list."""
+    """One batched expansion over the compact open list. Tables are
+    [K, L]-laned (L = E single edges, or E + E^2 with depth-2 macro
+    edges); `feasw` is the u32[S, W] lane-bit table."""
     h, w = shape
     kbins = cfg.theta_res
     kpop = cfg.batch
@@ -428,29 +504,32 @@ def _lattice_round(
     goal_idx = jnp.where(goal_better, pop[first], st.goal_idx)
     goal_cost = jnp.where(goal_better, gg[first], st.goal_cost)
 
-    # Successors: static per-bin tables, [batch, E].
-    off = flat_off[kk]  # [batch, E]
+    # Successors: static per-bin tables, [batch, L].
+    off = off_t[kk]  # [batch, L]
     ni = i[:, None] + di_t[kk]
     nj = j[:, None] + dj_t[kk]
     inb = (ni >= 0) & (ni < h) & (nj >= 0) & (nj < w)
-    e_n = di_t.shape[1]
-    # Feasibility: one u8 gather per pop (edge e of node n is bit e of
-    # feas_bits[n]). Scalar sub-word gathers at (etype, cell) cost ~0.5us
-    # EACH on TPU; a [K*E]-byte row gather per pop was ~1.1us/row; one
-    # byte per pop is the floor.
-    fb = feas_bits[pop].astype(jnp.int32)  # [batch]
-    clear = (fb[:, None] >> jnp.arange(e_n, dtype=jnp.int32)[None, :]) & 1
+    lanes_n = di_t.shape[1]
+    # Feasibility: one tiny u32-row gather per pop (lane l of node n is
+    # bit l%32 of feasw[n, l//32]). Scalar sub-word gathers at
+    # (etype, cell) cost ~0.5us EACH on TPU; one word row per pop is the
+    # floor.
+    fw = feasw[pop]  # [batch, W] u32
+    lane_word = np.arange(lanes_n, dtype=np.int32) // 32
+    lane_bit = jnp.asarray(
+        np.arange(lanes_n, dtype=np.int32) % 32, jnp.uint32
+    )
+    clear = (fw[:, lane_word] >> lane_bit[None, :]) & jnp.uint32(1)
     ok = inb & (clear > 0) & pop_valid[:, None]
 
     tgt = jnp.clip(pop[:, None] + off, 0, s - 1)
-    candq = gq[:, None] + cost_q[kk]  # i32 [batch, E]
+    candq = gq[:, None] + cost_q[kk]  # i32 [batch, L]
     # Improvements only, against the pre-scatter table; a same-round
     # duplicate that loses the scatter-min leaves a stale ring entry that
     # lazy deletion skips (no post-scatter readback on the chain).
     imp = ok & (candq < (st.gp[tgt] >> _EDGE_BITS))
-    edge_ids = jnp.arange(e_n, dtype=jnp.int32)[None, :]
     packed = jnp.where(
-        imp, (candq << _EDGE_BITS) | edge_ids, _INF_PACKED
+        imp, (candq << _EDGE_BITS) | edge_t[None, :], _INF_PACKED
     )
 
     tgt_f = tgt.reshape(-1)
@@ -543,8 +622,8 @@ _lattice_query_init_jit = jax.jit(
 
 
 def _lattice_solve_query(
-    free, a_xyt, b_xyt, feas, flat_off, di_t, dj_t, cost_q, max_rounds,
-    cfg, shape, cap,
+    free, a_xyt, b_xyt, feasw, off_t, di_t, dj_t, cost_q, edge_t,
+    max_rounds, cfg, shape, cap,
 ):
     """Fresh query end-to-end (init + full search) as ONE device program —
     on a tunneled TPU each dispatch is a host round trip that can rival
@@ -553,19 +632,19 @@ def _lattice_solve_query(
         free, a_xyt, b_xyt, cfg, shape, cap
     )
     st = _lattice_solve(
-        st, feas, flat_off, di_t, dj_t, cost_q, goal, target_bin, hfield,
-        max_rounds, cfg, shape,
+        st, feasw, off_t, di_t, dj_t, cost_q, edge_t, goal, target_bin,
+        hfield, max_rounds, cfg, shape,
     )
     return goal, target_bin, hfield, st
 
 
 _lattice_solve_query_jit = jax.jit(
-    _lattice_solve_query, static_argnums=(9, 10, 11)
+    _lattice_solve_query, static_argnums=(10, 11, 12)
 )
 
 
 def _lattice_solve(
-    st, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin, hfield,
+    st, feasw, off_t, di_t, dj_t, cost_q, edge_t, goal, target_bin, hfield,
     max_rounds, cfg, shape,
 ):
     def cond(carry):
@@ -583,8 +662,8 @@ def _lattice_solve(
         # An extra round past the goal is harmless — goal_idx latches.
         for _ in range(2):
             st = _lattice_round(
-                st, feas, flat_off, di_t, dj_t, cost_t, goal, target_bin,
-                hfield, cfg, shape,
+                st, feasw, off_t, di_t, dj_t, cost_q, edge_t, goal,
+                target_bin, hfield, cfg, shape,
             )
         return st, rounds + 2
 
@@ -615,20 +694,22 @@ def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
 
 _ha_round_jit = jax.jit(_ha_round, static_argnums=(5, 6))
 _ha_solve_jit = jax.jit(_ha_solve, static_argnums=(6, 7))
-_lattice_round_jit = jax.jit(_lattice_round, static_argnums=(9, 10))
-_lattice_solve_jit = jax.jit(_lattice_solve, static_argnums=(10, 11))
+_lattice_round_jit = jax.jit(_lattice_round, static_argnums=(10, 11))
+_lattice_solve_jit = jax.jit(_lattice_solve, static_argnums=(11, 12))
 
 # Fleet mode: Q independent queries solved in lockstep — per-round work is
-# Q x batch x E lanes, so the ~1-2 ms/round device floor (scatter latency x
+# Q x batch x L lanes, so the ~1-2 ms/round device floor (scatter latency x
 # ~path-depth rounds) amortizes over the whole query batch. The map tables
 # (feasibility rolls, steering offsets) are shared; state/goal/heuristic are
 # per-query.
 _lattice_solve_many_jit = jax.jit(
     jax.vmap(
         _lattice_solve,
-        in_axes=(0, None, None, None, None, None, 0, 0, 0, None, None, None),
+        in_axes=(
+            0, None, None, None, None, None, None, 0, 0, 0, None, None, None,
+        ),
     ),
-    static_argnums=(10, 11),
+    static_argnums=(11, 12),
 )
 
 
@@ -671,8 +752,8 @@ class HybridAStar:
             # No raycasts in lattice mode: feasibility is precomputed as
             # shifted-AND maps; the ray field build is skipped entirely.
             self.field = RayField(blocked=~free)
-            flat_off, di_t, dj_t, cost_t, seg, inv_off = _lattice_tables(
-                self.cfg, self.shape
+            flat_off, di_t, dj_t, cost_t, seg, inv_off, nk_t = (
+                _lattice_tables(self.cfg, self.shape)
             )
             e_n = di_t.shape[1]
             if e_n > (1 << _EDGE_BITS):
@@ -681,26 +762,19 @@ class HybridAStar:
                     f"bits; branching_factor {self.cfg.branching_factor} "
                     f"needs {e_n} edge ids"
                 )
-            # Bit-packed cuboid-major u8 [S]: bit e of word n = edge e is
-            # feasible from node n (one scalar gather per pop in the round).
-            feas = _lattice_feasibility(free, seg)  # [K*E, H, W] bool
-
-            @jax.jit
-            def pack_bits(feas):
-                k = self.cfg.theta_res
-                hw = self.shape[0] * self.shape[1]
-                f = feas.reshape(k, e_n, hw).astype(jnp.uint8)
-                weights = (1 << jnp.arange(e_n, dtype=jnp.uint8))[None, :, None]
-                bits = jnp.sum(f * weights, axis=1, dtype=jnp.uint8)  # [K, HW]
-                return bits.T.reshape(-1)  # [HW*K] cuboid-major
-
-            self._lat_feas = pack_bits(feas)
-            self._lat_off = jnp.asarray(flat_off)
-            self._lat_di = jnp.asarray(di_t)
-            self._lat_dj = jnp.asarray(dj_t)
-            self._lat_cost = jnp.asarray(
-                np.round(cost_t * _G_SCALE).astype(np.int32)
+            off_l, di_l, dj_l, cost_l, edge_l = _lattice_lane_tables(
+                self.cfg, flat_off, di_t, dj_t, cost_t, nk_t
             )
+            self._lat_feas = _lattice_feas_words(
+                free, seg, di_t, dj_t, nk_t, self.cfg
+            )
+            self._lat_off = jnp.asarray(off_l)
+            self._lat_di = jnp.asarray(di_l)
+            self._lat_dj = jnp.asarray(dj_l)
+            self._lat_cost = jnp.asarray(
+                np.round(cost_l * _G_SCALE).astype(np.int32)
+            )
+            self._lat_edge = jnp.asarray(edge_l)
             self._lat_inv_off = inv_off  # host-side (path recovery)
         else:
             self.field = make_ray_field(~free, self.rc)
@@ -790,8 +864,8 @@ class HybridAStar:
         if self.cfg.mode == "lattice":
             self.state = _lattice_round_jit(
                 self.state, self._lat_feas, self._lat_off, self._lat_di,
-                self._lat_dj, self._lat_cost, self._goal, self._target_bin,
-                self._hfield, self.cfg, self.shape,
+                self._lat_dj, self._lat_cost, self._lat_edge, self._goal,
+                self._target_bin, self._hfield, self.cfg, self.shape,
             )
         else:
             self.state = _ha_round_jit(
@@ -821,16 +895,17 @@ class HybridAStar:
                     _lattice_solve_query_jit(
                         self._free, a_xyt, b_xyt, self._lat_feas,
                         self._lat_off, self._lat_di, self._lat_dj,
-                        self._lat_cost, jnp.int32(max_rounds), self.cfg,
-                        self.shape, self._ring_capacity(),
+                        self._lat_cost, self._lat_edge,
+                        jnp.int32(max_rounds), self.cfg, self.shape,
+                        self._ring_capacity(),
                     )
                 )
             else:
                 self.state = _lattice_solve_jit(
                     self.state, self._lat_feas, self._lat_off, self._lat_di,
-                    self._lat_dj, self._lat_cost, self._goal,
-                    self._target_bin, self._hfield, jnp.int32(max_rounds),
-                    self.cfg, self.shape,
+                    self._lat_dj, self._lat_cost, self._lat_edge,
+                    self._goal, self._target_bin, self._hfield,
+                    jnp.int32(max_rounds), self.cfg, self.shape,
                 )
         else:
             self.state = _ha_solve_jit(
@@ -879,6 +954,7 @@ class HybridAStar:
             self._lat_di,
             self._lat_dj,
             self._lat_cost,
+            self._lat_edge,
             jnp.stack(goals),
             jnp.stack(tbins),
             jnp.stack(hfields),
