@@ -194,6 +194,25 @@ class TestHybridAStarLattice:
         p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
         assert not p.solve(max_rounds=300)
 
+    def test_depth2_macro_edges_cost_parity(self):
+        """lattice_depth=2 (two-edge macro successors) must find the same
+        routes: every macro commit has its intermediate committed via a
+        depth-1 lane, so paths and costs stay comparable."""
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+        cfg2 = dataclasses.replace(self.CFG, lattice_depth=2)
+        p = HybridAStar(jnp.asarray(free), a, b, cfg2)
+        assert p.solve(max_rounds=400)
+        path = p.recover_path()
+        assert len(path) >= 5
+        for i, j in path:
+            if j == 32:
+                assert 28 <= i < 38
+        ref = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert ref.solve(max_rounds=400)
+        assert abs(p.path_cost() - ref.path_cost()) <= 3 * self.CFG.velocity
+
     def test_solve_many_matches_single(self):
         free = wall_map(64, 64, gap=(28, 38))
         queries = [

@@ -89,6 +89,31 @@ class TestLut:
         d, h = lutlib.raycast_lut(lut, 12.0, 32.0, 0.0, max_dist=30.0)
         assert bool(h) and abs(float(d) - 28.0) < 2.0
 
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.uint8])
+    def test_padded_storage_queries_match_unpadded(self, rng, dtype):
+        """Row-padded tables (lut.pad_lut_rows + explicit n_bins) must
+        answer every query identically — pad bins are never read."""
+        h = w = 64
+        blocked = jnp.asarray(synthetic_room(h, w))
+        n_bins = 96
+        lut = lutlib.build_beam_lut(
+            blocked, n_bins=n_bins, max_dist=80.0, dtype=dtype
+        )
+        lut_p = lutlib.pad_lut_rows(lut)
+        assert lut_p.shape[-1] == lutlib.padded_bins(n_bins, dtype) > n_bins
+        xs, ys, ths = _ray_batch(rng, 256, h, w)
+        d0, h0 = lutlib.raycast_lut(lut, xs, ys, ths, max_dist=80.0)
+        d1, h1 = lutlib.raycast_lut(
+            lut_p, xs, ys, ths, max_dist=80.0, n_bins=n_bins
+        )
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        p0, i0 = lutlib.panorama_rows(lut, xs, ys)
+        p1, i1 = lutlib.panorama_rows(lut_p, xs, ys, n_bins)
+        assert p1.shape == p0.shape
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
 
 class TestLutFusedMeasurement:
     """The panorama-fused beam model must reproduce the general per-ray LUT
