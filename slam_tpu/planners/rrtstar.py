@@ -214,8 +214,40 @@ def _rrt_solve(st, field, goal, max_rounds, min_nodes, cfg, rc, neighbor_cap):
     return st
 
 
+def _rrt_query_init(a_xy, b_xy, seed, cfg):
+    """Fresh-query state as a traced constructor (see _rrt_solve_query)."""
+    n = cfg.max_nodes
+    goal = b_xy
+    state = RRTState(
+        x=jnp.zeros((n,), jnp.float32).at[0].set(a_xy[0]),
+        y=jnp.zeros((n,), jnp.float32).at[0].set(a_xy[1]),
+        cost=jnp.full((n,), INF).at[0].set(0.0),
+        parent=jnp.full((n,), -1, jnp.int32),
+        valid=jnp.zeros((n,), bool).at[0].set(True),
+        size=jnp.int32(1),
+        best_goal_node=jnp.int32(-1),
+        best_goal_cost=jnp.float32(INF),
+        key=jax.random.key(seed),
+    )
+    return goal, state
+
+
+def _rrt_solve_query(
+    a_xy, b_xy, seed, field, max_rounds, min_nodes, cfg, rc, neighbor_cap
+):
+    """Fresh query end-to-end (state init + full search) as ONE device
+    program — eager per-query state fills were ~9 dispatches, each a host
+    round trip on the tunneled TPU."""
+    goal, st = _rrt_query_init(a_xy, b_xy, seed, cfg)
+    st = _rrt_solve(st, field, goal, max_rounds, min_nodes, cfg, rc,
+                    neighbor_cap)
+    return goal, st
+
+
 _rrt_round_jit = jax.jit(_rrt_round, static_argnums=(3, 4, 5))
 _rrt_solve_jit = jax.jit(_rrt_solve, static_argnums=(5, 6, 7))
+_rrt_query_init_jit = jax.jit(_rrt_query_init, static_argnums=(3,))
+_rrt_solve_query_jit = jax.jit(_rrt_solve_query, static_argnums=(6, 7, 8))
 
 
 class RRTStar:
@@ -246,31 +278,29 @@ class RRTStar:
         self.reset_query(a, b, seed)
 
     def reset_query(self, a, b, seed: int = 0):
-        """Re-target start/goal on the same map (the ray field is reused)."""
-        cfg = self.cfg
+        """Re-target start/goal on the same map (the ray field is reused).
+        LAZY: `solve` on a fresh query fuses state init + search into one
+        dispatch; the incremental `pathfind` materializes first."""
         self.a = (float(a[0]), float(a[1]))
         self.b = (float(b[0]), float(b[1]))
         self._goal = jnp.asarray([self.b[0], self.b[1]], jnp.float32)
         self.success = False
         self.used_up = False
+        self._pending_seed = seed
+        self.state = None
 
-        n = cfg.max_nodes
-        self.state = RRTState(
-            x=jnp.zeros((n,), jnp.float32).at[0].set(self.a[0]),
-            y=jnp.zeros((n,), jnp.float32).at[0].set(self.a[1]),
-            cost=jnp.full((n,), INF).at[0].set(0.0),
-            parent=jnp.full((n,), -1, jnp.int32),
-            valid=jnp.zeros((n,), bool).at[0].set(True),
-            size=jnp.int32(1),
-            best_goal_node=jnp.int32(-1),
-            best_goal_cost=jnp.float32(INF),
-            key=jax.random.key(seed),
-        )
+    def _ensure_query_state(self):
+        if self.state is None:
+            a_xy = jnp.asarray(self.a, jnp.float32)
+            self._goal, self.state = _rrt_query_init_jit(
+                a_xy, self._goal, self._pending_seed, self.cfg
+            )
 
     # -- driver -----------------------------------------------------------
 
     @property
     def size(self) -> int:
+        self._ensure_query_state()
         return int(self.state.size)
 
     def pathfind(self) -> bool:
@@ -279,6 +309,7 @@ class RRTStar:
         `apps/rrt_planner.cpp:50`)."""
         if self.used_up:
             return True
+        self._ensure_query_state()
         self.state = _rrt_round_jit(
             self.state, self.field, self._goal, self.cfg, self.rc, self.neighbor_cap
         )
@@ -289,16 +320,31 @@ class RRTStar:
         return self.success or self.used_up
 
     def solve(self, max_rounds: int = 256, min_nodes: int = 0) -> bool:
-        self.state = _rrt_solve_jit(
-            self.state,
-            self.field,
-            self._goal,
-            jnp.int32(max_rounds),
-            jnp.int32(min_nodes),
-            self.cfg,
-            self.rc,
-            self.neighbor_cap,
-        )
+        if self.state is None:
+            # Fresh query: init + search in one fused dispatch.
+            a_xy = jnp.asarray(self.a, jnp.float32)
+            self._goal, self.state = _rrt_solve_query_jit(
+                a_xy,
+                self._goal,
+                self._pending_seed,
+                self.field,
+                jnp.int32(max_rounds),
+                jnp.int32(min_nodes),
+                self.cfg,
+                self.rc,
+                self.neighbor_cap,
+            )
+        else:
+            self.state = _rrt_solve_jit(
+                self.state,
+                self.field,
+                self._goal,
+                jnp.int32(max_rounds),
+                jnp.int32(min_nodes),
+                self.cfg,
+                self.rc,
+                self.neighbor_cap,
+            )
         if int(self.state.best_goal_node) >= 0:
             self.success = True
         if int(self.state.size) >= self.cfg.max_nodes:
