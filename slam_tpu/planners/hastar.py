@@ -671,6 +671,54 @@ def _lattice_solve(
     return st
 
 
+def _ha_query_init(free, a_xyt, b_xyt, cfg, shape):
+    """Continuous-mode reset_query as ONE traced program (mirrors
+    `_lattice_query_init`): start/goal indexing, heuristic build, state
+    fills."""
+    h, w = shape
+    k = cfg.theta_res
+    s = h * w * k
+    start_idx = _pose_to_cuboid(shape, k, a_xyt[0], a_xyt[1], a_xyt[2])
+    target_bin = (
+        _pose_to_cuboid(shape, k, b_xyt[0], b_xyt[1], b_xyt[2]) % k
+    ).astype(jnp.int32)
+    goal = b_xyt[:2]
+    if cfg.heuristic == "geodesic":
+        cells = _coarse_geodesic_cells(free, b_xyt[0], b_xyt[1], cfg, shape)
+        hfield = jnp.repeat(cells, k)
+        h_start = hfield[start_idx]
+    else:
+        hfield = jnp.zeros((1,), jnp.float32)  # computed in-round
+        h_start = jnp.sqrt(
+            (a_xyt[0] - b_xyt[0]) ** 2 + (a_xyt[1] - b_xyt[1]) ** 2
+        )
+    state = HAState(
+        g=jnp.full((s,), INF).at[start_idx].set(0.0),
+        parent=jnp.full((s,), -1, jnp.int32),
+        px=jnp.zeros((s,), jnp.float32).at[start_idx].set(a_xyt[0]),
+        py=jnp.zeros((s,), jnp.float32).at[start_idx].set(a_xyt[1]),
+        pth=jnp.zeros((s,), jnp.float32).at[start_idx].set(a_xyt[2]),
+        open_f=jnp.full((s,), INF).at[start_idx].set(h_start),
+        goal_idx=jnp.int32(-1),
+        goal_cost=jnp.float32(INF),
+        n_expanded=jnp.int32(0),
+    )
+    return goal, target_bin, hfield, state
+
+
+def _ha_solve_query(free, a_xyt, b_xyt, field, max_rounds, cfg, shape, rc):
+    """Fresh continuous-mode query end-to-end as ONE device program."""
+    goal, target_bin, hfield, st = _ha_query_init(
+        free, a_xyt, b_xyt, cfg, shape
+    )
+    st = _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc)
+    return goal, target_bin, hfield, st
+
+
+_ha_query_init_jit = jax.jit(_ha_query_init, static_argnums=(3, 4))
+_ha_solve_query_jit = jax.jit(_ha_solve_query, static_argnums=(5, 6, 7))
+
+
 def _ha_solve(st, field, goal, target_bin, hfield, max_rounds, cfg, rc):
     """Whole search as ONE device program: a while_loop over rounds, so a
     full pathfind costs a single host<->device round trip (the per-round
@@ -781,61 +829,19 @@ class HybridAStar:
         self.reset_query(a, b)
 
     def reset_query(self, a: Pose, b: Pose):
-        """Re-target start/goal, reusing the map's ray field."""
-        h, w = self.shape
-        k = self.cfg.theta_res
-        s = h * w * k
+        """Re-target start/goal, reusing the map's ray field. Reset is
+        LAZY in both modes: `solve` on a fresh query fuses init (heuristic
+        wavefront included) + search into one device program (one
+        dispatch); the incremental `pathfind` API materializes first."""
         self.a = a
         self.b = b
         self.success = False
         self.used_up = False
-
-        if self.cfg.mode == "lattice":
-            # Pose is implied by the cuboid index; the frontier lives in a
-            # compact ring (see LatticeState) seeded with the start node.
-            # Reset is LAZY: `solve` on a fresh query fuses init + search
-            # into one device program (one dispatch); the incremental
-            # `pathfind` API materializes the state first.
-            self._pending = (
-                jnp.asarray([a.x, a.y, a.theta], jnp.float32),
-                jnp.asarray([b.x, b.y, b.theta], jnp.float32),
-            )
-            self.state = None
-            return
-
-        start_idx = self._pose_to_cuboid(a.x, a.y, a.theta)
-        self._target_bin = jnp.asarray(
-            self._pose_to_cuboid(b.x, b.y, b.theta) % k, jnp.int32
+        self._pending = (
+            jnp.asarray([a.x, a.y, a.theta], jnp.float32),
+            jnp.asarray([b.x, b.y, b.theta], jnp.float32),
         )
-        self._goal = jnp.asarray([b.x, b.y], jnp.float32)
-        self._hfield = self._build_hfield(self._free, b)
-        if self.cfg.heuristic == "geodesic":
-            h_start = self._hfield[start_idx]
-        else:
-            h_start = jnp.sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2)
-        self.state = HAState(
-            g=jnp.full((s,), INF).at[start_idx].set(0.0),
-            parent=jnp.full((s,), -1, jnp.int32),
-            px=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.x),
-            py=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.y),
-            pth=jnp.zeros((s,), jnp.float32).at[start_idx].set(a.theta),
-            open_f=jnp.full((s,), INF).at[start_idx].set(h_start),
-            goal_idx=jnp.int32(-1),
-            goal_cost=INF,
-            n_expanded=jnp.int32(0),
-        )
-
-    def _build_hfield(self, free: jax.Array, b: Pose) -> jax.Array:
-        """Heuristic table per cuboid cell (continuous mode; the lattice
-        reset builds its per-cell field inside `_lattice_query_init`).
-        "geodesic" runs the A* wavefront to the goal on a
-        `coarse`-downsampled grid (max-pooled free space, so distances
-        underestimate -> admissible) and tiles it over theta bins;
-        "euclid" returns a dummy (computed in-round)."""
-        if self.cfg.heuristic != "geodesic":
-            return jnp.zeros((1,), jnp.float32)
-        cells = _coarse_geodesic_cells(free, b.x, b.y, self.cfg, self.shape)
-        return jnp.repeat(cells, self.cfg.theta_res)
+        self.state = None
 
     # -- driver -----------------------------------------------------------
 
@@ -844,14 +850,22 @@ class HybridAStar:
                  // self.cfg.batch) * self.cfg.batch
 
     def _ensure_query_state(self):
-        """Materialize the lazy lattice query state (incremental API /
-        fleet stacking; `solve` on a fresh query skips this and fuses)."""
-        if self.cfg.mode == "lattice" and self.state is None:
-            a_xyt, b_xyt = self._pending
+        """Materialize the lazy query state (incremental API / fleet
+        stacking; `solve` on a fresh query skips this and fuses)."""
+        if self.state is not None:
+            return
+        a_xyt, b_xyt = self._pending
+        if self.cfg.mode == "lattice":
             (self._goal, self._target_bin, self._hfield, self.state) = (
                 _lattice_query_init_jit(
                     self._free, a_xyt, b_xyt, self.cfg, self.shape,
                     self._ring_capacity(),
+                )
+            )
+        else:
+            (self._goal, self._target_bin, self._hfield, self.state) = (
+                _ha_query_init_jit(
+                    self._free, a_xyt, b_xyt, self.cfg, self.shape
                 )
             )
 
@@ -907,6 +921,15 @@ class HybridAStar:
                     self._goal, self._target_bin, self._hfield,
                     jnp.int32(max_rounds), self.cfg, self.shape,
                 )
+        elif self.state is None:
+            # Fresh query: init + search in one fused dispatch.
+            a_xyt, b_xyt = self._pending
+            (self._goal, self._target_bin, self._hfield, self.state) = (
+                _ha_solve_query_jit(
+                    self._free, a_xyt, b_xyt, self.field,
+                    jnp.int32(max_rounds), self.cfg, self.shape, self.rc,
+                )
+            )
         else:
             self.state = _ha_solve_jit(
                 self.state,
