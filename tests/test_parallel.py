@@ -190,3 +190,63 @@ def test_sharded_mcl_with_lut_backend():
     st = m.update(st, scan, field)
     jax.block_until_ready(st)
     assert st.particles.pose.x.sharding.shard_shape((N,))[0] == N // 4
+
+
+def test_sharded_fleet_matches_unsharded():
+    """Robots over the 'p' axis: sharded fleet == unsharded fleet exactly,
+    outputs stay robot-sharded, and the step inserts no cross-robot
+    collectives (the fleet axis is embarrassingly parallel)."""
+    from slam_tpu.models import fleet as fleet_mod
+    from slam_tpu.ops import rayfield
+    from slam_tpu.parallel import ShardedMCLFleet
+
+    blocked, _, _, rc = _scene()
+    lidar = LidarConfig(n_rays=16, max_dist=100.0)
+    cfg = MCLConfig(n_particles=32, meas_stddev=3.0)
+    field = rayfield.make_ray_field(blocked, rc)
+    alphas = (1e-3, 1e-3, 5e-3, 5e-3)
+    r = 8
+    poses = Pose.create(
+        jnp.linspace(20.0, 44.0, r),
+        jnp.linspace(20.0, 44.0, r),
+        jnp.zeros((r,)),
+    )
+    from slam_tpu.ops.measurement import sensor_pose
+
+    scans = [
+        fake_lidar.scan(
+            blocked,
+            sensor_pose(
+                Pose.create(poses.x[q], poses.y[q], poses.theta[q]),
+                cfg.scanner_offset,
+            ),
+            lidar,
+            rc,
+        )
+        for q in range(r)
+    ]
+    scans_b = jax.tree.map(lambda *z: jnp.stack(z), *scans)
+    odoms_b = jax.tree.map(
+        lambda *z: jnp.stack(z), *([Odometry.create(0.05, 1.0, 0.05)] * r)
+    )
+
+    mesh = make_mesh(8, beam_axis=1)
+    sf = ShardedMCLFleet(mesh, r, cfg, rc, seed=3)
+    st_s = sf.init(poses)
+    for _ in range(2):
+        st_s = sf.step(st_s, odoms_b, scans_b, field, alphas)
+    jax.block_until_ready(st_s)
+
+    fl = fleet_mod.MCLFleet(r, cfg, rc, seed=3)
+    st_u = fl.init(poses)
+    for _ in range(2):
+        st_u = fl.step(st_u, odoms_b, scans_b, field, alphas)
+
+    np.testing.assert_allclose(
+        np.asarray(st_s.particles.pose.x),
+        np.asarray(st_u.particles.pose.x),
+        rtol=1e-5,
+        atol=1e-4,
+    )
+    # Outputs stay sharded: each device holds r/8 robots.
+    assert st_s.particles.pose.x.sharding.shard_shape((r, 32))[0] == 1
