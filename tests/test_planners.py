@@ -194,6 +194,25 @@ class TestHybridAStarLattice:
         p = HybridAStar(jnp.asarray(free), a, b, self.CFG)
         assert not p.solve(max_rounds=300)
 
+    def test_fused_solve_matches_incremental_pathfind(self):
+        """solve() (single fused dispatch, lazy init) and the pathfind()
+        animation driver run the same rounds — identical cost and path."""
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+        for cfg in (self.CFG, TestHybridAStar.CFG):  # lattice + continuous
+            p = HybridAStar(jnp.asarray(free), a, b, cfg)
+            assert p.solve(max_rounds=400)
+            cost_s, path_s = p.path_cost(), p.recover_path()
+            p.reset_query(a, b)
+            n = 0
+            while not p.pathfind():
+                n += 1
+                assert n < 500
+            assert p.success
+            assert abs(p.path_cost() - cost_s) < 1e-3
+            assert p.recover_path() == path_s
+
     def test_depth2_macro_edges_cost_parity(self):
         """lattice_depth=2 (two-edge macro successors) must find the same
         routes: every macro commit has its intermediate committed via a
