@@ -114,3 +114,15 @@ def test_interactive_replanning(tmp_path, monkeypatch):
     )
     assert ok
     assert (tmp_path / "h_1.png").exists()
+
+
+def test_fleet_localization_app(tmp_path):
+    from slam_tpu.apps import fleet_localization
+
+    out = str(tmp_path / "fleet.png")
+    mean_ate = fleet_localization.main(
+        ["--map", "", "--robots", "2", "--particles", "256", "--steps", "8",
+         "--beams", "16", "--backend", "sdf", "--out", out]
+    )
+    assert mean_ate < 10.0
+    assert (tmp_path / "fleet.png").exists()
