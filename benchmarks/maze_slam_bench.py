@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Full grid SLAM (unknown map, mapping every step) on the maze.
+
+The last BASELINE.md config: big-map SLAM, where the EDT must be rebuilt
+in-step (JFA over 2354x2464) because the map changes every scan — the
+static-map LUT of `maze_bench.py` does not apply. Likelihood-field
+measurement (no raycasting in the update).
+
+    python benchmarks/maze_slam_bench.py [--particles 10000] [--steps 40]
+
+Emits JSON lines: maze_slam_step_ms_<N> and maze_slam_ate_px.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--map", default="/root/reference/assets/maze.png")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from benchmarks.maze_bench import find_start
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MapConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod, slam as slam_mod
+    from slam_tpu.ops import motion
+    from slam_tpu.ops.measurement import sensor_pose
+    from slam_tpu.utils.maps import load_binary_map
+    from slam_tpu.utils.metrics import ate_rmse
+
+    if os.path.exists(args.map):
+        blocked_np = np.asarray(load_binary_map(args.map) == 0)
+    else:
+        rng = np.random.default_rng(0)
+        blocked_np = np.ones((1024, 1024), bool)
+        blocked_np[8:-8, 8:-8] = rng.random((1008, 1008)) > 0.97
+    blocked = jnp.asarray(blocked_np)
+    h, w = blocked.shape
+
+    lidar = LidarConfig(start=0.0, stop=2 * np.pi, max_dist=500.0, n_rays=90)
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=args.particles,
+            meas_stddev=5.0,
+            measurement="likelihood_field",
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=lidar,
+        motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+        raycast=RaycastConfig(step=1.0, max_dist=500.0, backend="sdf"),
+    )
+    engine = slam_mod.GridSLAM(cfg, seed=0)
+
+    def fence(x):
+        np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+
+    sx, sy = find_start(blocked_np)
+    gt = Pose.create(sx, sy, 0.9)
+    state = engine.init(gt)
+    odom = Odometry.create(0.02, 2.0, 0.02)
+    key = jax.random.key(3)
+
+    est, gts = [], []
+    t_meas = 0.0
+    for t in range(args.steps):
+        key, kgt = jax.random.split(key)
+        gt = motion.sample_motion_model_odometry(
+            kgt, odom, gt, jnp.asarray(cfg.motion.alphas)
+        )
+        sp = sensor_pose(gt, cfg.mcl.scanner_offset)
+        scan = fake_lidar.scan(
+            blocked, sp, lidar, RaycastConfig(max_dist=500.0)
+        )
+        t0 = time.perf_counter()
+        state = engine.step(state, odom, scan)
+        fence(state.mcl.particles.log_weight)
+        if t >= 2:
+            t_meas += time.perf_counter() - t0
+        mp = mcl_mod.mean_pose(state.mcl)
+        est.append([float(mp.x), float(mp.y)])
+        gts.append([float(gt.x), float(gt.y)])
+
+    ate = ate_rmse(np.asarray(est), np.asarray(gts))
+    per = t_meas / max(1, args.steps - 2)
+    print(json.dumps({
+        "metric": f"maze_slam_step_ms_{args.particles}",
+        "value": round(per * 1e3, 2),
+        "unit": "ms",
+    }))
+    print(json.dumps({
+        "metric": "maze_slam_ate_px",
+        "value": round(float(ate), 2),
+        "unit": "px",
+    }))
+    print(
+        f"# maze SLAM {h}x{w}: {args.particles} particles x {args.steps} "
+        f"steps, {per*1e3:.0f} ms/step ({1/per:.1f} Hz), ATE {ate:.2f}px "
+        f"on {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
