@@ -116,7 +116,20 @@ def update(
         field = None
         lw = measurement_fn(state.particles.pose, scan)
     elif cfg.measurement == "likelihood_field":
-        field = rayfield.as_ray_field(field, rc)
+        if not isinstance(field, rayfield.RayField):
+            # Per-step rebuild (SLAM mode): the LF pdf only resolves ~5
+            # sigma of distance (beyond that the z_rand floor dominates),
+            # so cap the JFA propagation radius — ~2x fewer passes, and the
+            # cap scales with the MODEL, not the map (big-map SLAM).
+            from slam_tpu.ops import edt as edtlib
+
+            blocked_mask = jnp.asarray(field, bool)
+            field = rayfield.RayField(
+                blocked=blocked_mask,
+                edt=edtlib.edt_jfa(
+                    blocked_mask, max_dist=5.0 * cfg.meas_stddev + 2.0
+                ),
+            )
         if field.edt is None:
             raise ValueError(
                 "measurement='likelihood_field' needs a distance transform: "

@@ -61,32 +61,47 @@ def edt_exact(blocked: jax.Array, block: int = 64) -> jax.Array:
     return jnp.sqrt(jnp.minimum(e2, big * big))
 
 
-def edt_jfa(blocked: jax.Array) -> jax.Array:
+def edt_jfa(blocked: jax.Array, max_dist: float | None = None) -> jax.Array:
     """Jump-flooding EDT (JFA+1), f32[H, W] pixels.
 
     Gather-free: every pass is 8 rolls + elementwise mins, so a full
     transform on a ~600x1300 map is a handful of bandwidth-bound passes —
-    cheap enough to rebuild every SLAM map update.
+    cheap enough to rebuild every SLAM map update. The nearest-seed
+    coordinate pair is PACKED into one i32 flat index (seed row/col are
+    recomputed by a constant div/mod), so each pass rolls one array instead
+    of two — the passes are bandwidth-bound, not ALU-bound.
+
+    `max_dist` caps the propagation radius: step sizes start at
+    2^ceil(log2(max_dist)) instead of half the map dimension, dropping
+    pass count ~2x on big maps. Distances <= max_dist stay exact (same
+    JFA+1 approximation); farther cells saturate to the h+w sentinel. The
+    likelihood-field measurement only resolves ~5 sigma of distance, so
+    its per-step rebuild uses a ~30 px cap (models/mcl.py update).
     """
     h, w = blocked.shape
     big = jnp.float32(h + w)
-    ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    iif = ii.astype(jnp.float32)
+    jjf = jj.astype(jnp.float32)
 
     inf = jnp.float32(1e9)
-    si = jnp.where(blocked, ii, inf)
-    sj = jnp.where(blocked, jj, inf)
+    idx = jnp.where(blocked, ii * w + jj, -1)  # -1 = no seed known
 
-    def d2_of(si_, sj_):
-        return jnp.where(
-            si_ >= inf, inf, (ii - si_) ** 2 + (jj - sj_) ** 2
-        )
+    def d2_of(idx_):
+        si = (idx_ // w).astype(jnp.float32)
+        sj = (idx_ % w).astype(jnp.float32)
+        return jnp.where(idx_ < 0, inf, (iif - si) ** 2 + (jjf - sj) ** 2)
 
-    d2 = d2_of(si, sj)
+    d2 = d2_of(idx)
 
     max_dim = max(h, w)
+    if max_dist is None:
+        s = 1 << max(0, math.ceil(math.log2(max_dim)) - 1)
+    else:
+        rng = max(1, min(max_dim, int(math.ceil(max_dist))))
+        s = 1 << math.ceil(math.log2(rng))
     steps = []
-    s = 1 << max(0, math.ceil(math.log2(max_dim)) - 1)
     while s >= 1:
         steps.append(s)
         s //= 2
@@ -97,8 +112,7 @@ def edt_jfa(blocked: jax.Array) -> jax.Array:
             for dj in (-s, 0, s):
                 if di == 0 and dj == 0:
                     continue
-                si_r = jnp.roll(si, (di, dj), (0, 1))
-                sj_r = jnp.roll(sj, (di, dj), (0, 1))
+                idx_r = jnp.roll(idx, (di, dj), (0, 1))
                 # Invalidate wrapped-around entries.
                 valid = jnp.ones((h, w), bool)
                 if di > 0:
@@ -109,10 +123,9 @@ def edt_jfa(blocked: jax.Array) -> jax.Array:
                     valid = valid & (jj >= dj)
                 elif dj < 0:
                     valid = valid & (jj < w + dj)
-                cand = jnp.where(valid, d2_of(si_r, sj_r), inf)
+                cand = jnp.where(valid, d2_of(idx_r), inf)
                 better = cand < d2
-                si = jnp.where(better, si_r, si)
-                sj = jnp.where(better, sj_r, sj)
+                idx = jnp.where(better, idx_r, idx)
                 d2 = jnp.where(better, cand, d2)
 
     return jnp.sqrt(jnp.minimum(d2, big * big))

@@ -42,3 +42,26 @@ def test_edt_jfa_close_to_exact(rng, density):
     assert np.all(got >= want - 1e-4)
     assert np.max(got - want) < 1.0
     assert np.all(got[blocked] == 0.0)
+
+
+def test_jfa_capped_matches_exact_within_cap(rng):
+    """Range-capped JFA: exact (same JFA+1 quality) below the cap,
+    saturated to the h+w sentinel beyond it."""
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import edt
+
+    blocked = jnp.asarray(rng.random((96, 128)) > 0.995)
+    blocked = blocked.at[40, 60].set(True)  # at least one seed
+    cap = 12.0
+    full = np.asarray(edt.edt_exact(blocked))
+    capped = np.asarray(edt.edt_jfa(blocked, max_dist=cap))
+    near = full <= cap
+    # Same JFA+1 quality as the uncapped transform: tiny rare
+    # overestimates only (see test_edt_jfa_close_to_exact).
+    assert np.all(capped[near] >= full[near] - 1e-4)
+    assert np.max(capped[near] - full[near]) < 1.0
+    # Beyond the propagation radius values only ever exceed the true
+    # distance (saturating at h+w) — never underestimate.
+    far = full > cap
+    assert np.all(capped[far] >= full[far] - 1e-3)
