@@ -85,47 +85,58 @@ def main(argv=None):
     fl = fleet.MCLFleet(args.robots, cfg, rc, seed=args.seed)
     states = fl.init(jax.tree.map(lambda *x: jnp.stack(x), *gts))
 
+    from slam_tpu.core.types import Scan
     from slam_tpu.ops import motion as motion_ops
     from slam_tpu.ops.raycast import raycast_march
 
+    scan_rc = RaycastConfig(max_dist=500.0)
+    beam_angles = jnp.asarray(lidar.angles, jnp.float32)
+
+    # Whole-fleet ground-truth step in ONE device program (wall-avoiding
+    # wander + batched exact-DDA scans) — per-robot eager simulation costs
+    # 3R tunnel dispatches per step.
+    @jax.jit
+    def gt_step(key, gt: Pose):
+        d, hit = raycast_march(
+            blocked, gt.x, gt.y, gt.theta,
+            step=1.0, max_dist=4.0 * args.trans, chunk=8,
+        )
+        rot = jnp.where(hit, 0.6, 0.0)
+        tr = jnp.where(hit, args.trans * 0.4, args.trans)
+        odoms = Odometry.create(rot, tr, rot)
+        new_gt = motion_ops.sample_motion_model_odometry(
+            key, odoms, gt, jnp.asarray(alphas)
+        )
+        sp = sensor_pose(new_gt, cfg.scanner_offset)
+        dists, hits = raycast_march(
+            blocked,
+            sp.x[:, None],
+            sp.y[:, None],
+            sp.theta[:, None] + beam_angles[None, :],
+            step=scan_rc.step,
+            max_dist=lidar.max_dist,
+            chunk=scan_rc.chunk,
+        )
+        dists = jnp.where(hits, dists, lidar.max_dist)
+        scans = Scan(
+            angles=jnp.broadcast_to(beam_angles, dists.shape), dists=dists
+        )
+        return new_gt, odoms, scans
+
     key = jax.random.key(args.seed + 1)
+    gt = jax.tree.map(lambda *x: jnp.stack(x), *gts)  # Pose [R]
     trails_gt = [[] for _ in range(args.robots)]
     trails_est = [[] for _ in range(args.robots)]
     for t in range(args.steps):
-        key, *ks = jax.random.split(key, args.robots + 1)
-        odoms, scans = [], []
-        for q in range(args.robots):
-            d, hit = raycast_march(
-                blocked, gts[q].x, gts[q].y, gts[q].theta,
-                step=1.0, max_dist=4.0 * args.trans, chunk=8,
-            )
-            if bool(hit):
-                od = Odometry.create(0.6, args.trans * 0.4, 0.6)
-            else:
-                od = Odometry.create(0.0, args.trans, 0.0)
-            gts[q] = motion_ops.sample_motion_model_odometry(
-                ks[q], od, gts[q], jnp.asarray(alphas)
-            )
-            odoms.append(od)
-            scans.append(
-                fake_lidar.scan(
-                    blocked,
-                    sensor_pose(gts[q], cfg.scanner_offset),
-                    lidar,
-                    RaycastConfig(max_dist=500.0),
-                )
-            )
-        states = fl.step(
-            states,
-            jax.tree.map(lambda *x: jnp.stack(x), *odoms),
-            jax.tree.map(lambda *x: jnp.stack(x), *scans),
-            field,
-            alphas,
-        )
+        key, k = jax.random.split(key)
+        gt, odoms, scans = gt_step(k, gt)
+        states = fl.step(states, odoms, scans, field, alphas)
         mp = fleet.mean_poses(states)
+        gx, gy = np.asarray(gt.x), np.asarray(gt.y)
+        ex, ey = np.asarray(mp.x), np.asarray(mp.y)
         for q in range(args.robots):
-            trails_gt[q].append([float(gts[q].x), float(gts[q].y)])
-            trails_est[q].append([float(mp.x[q]), float(mp.y[q])])
+            trails_gt[q].append([float(gx[q]), float(gy[q])])
+            trails_est[q].append([float(ex[q]), float(ey[q])])
 
     ates = [
         ate_rmse(np.asarray(trails_est[q]), np.asarray(trails_gt[q]))
