@@ -250,3 +250,21 @@ def test_sharded_fleet_matches_unsharded():
     )
     # Outputs stay sharded: each device holds r/8 robots.
     assert st_s.particles.pose.x.sharding.shard_shape((r, 32))[0] == 1
+
+    # And the step moves no DATA between devices: the only collective GSPMD
+    # inserts is a scalar pred[] all-reduce (control), never an array op.
+    import re
+
+    txt = (
+        sf._step.lower(st_s, odoms_b, scans_b, field, jnp.asarray(alphas))
+        .compile()
+        .as_text()
+    )
+    for line in txt.splitlines():
+        m = re.search(
+            r"= (\S+) (?:all-reduce|all-gather|collective-permute|"
+            r"all-to-all|reduce-scatter)\(",
+            line,
+        )
+        if m:
+            assert m.group(1).startswith("pred[]"), f"data collective: {line[:160]}"
