@@ -97,6 +97,14 @@ def bench_hastar(args):
             else max(args.hastar_batch, 4096)
         ),
         mode=args.hastar_mode,
+        # Same-steer macro lanes advance corridors several steps per
+        # latency-bound round; 1 = single edges (see HybridAStarConfig).
+        lattice_reps=(
+            args.hastar_reps
+            if args.hastar_reps is not None
+            else (3 if args.hastar_mode == "lattice" else 1)
+        ),
+        heuristic_weight=args.hastar_hweight,
     )
     # Edge feasibility via the directional LUT: one gather per edge. The
     # table is built once per map (construct-once + reset_query, exactly the
@@ -237,6 +245,8 @@ def main():
         "--hastar-mode", default="continuous", choices=["continuous", "lattice"]
     )
     ap.add_argument("--hastar-tres", type=int, default=None)
+    ap.add_argument("--hastar-reps", type=int, default=None)
+    ap.add_argument("--hastar-hweight", type=float, default=1.0)
     ap.add_argument("--rrt-batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -225,6 +225,19 @@ class HybridAStarConfig:
     # more than the saved rounds. Kept for maps where rounds dominate
     # (long corridors, sparse frontiers).
     lattice_depth: int = 1
+    # Same-edge macro lanes: R >= 2 adds, for each single edge e and each
+    # r in 2..R, the constant-steer repetition e^r (straight runs and
+    # fixed-radius arcs) as one expansion lane. Unlike lattice_depth=2's
+    # E^2 pair fan, this adds only (R-1)*E lanes with DISTINCT targets
+    # along each primitive, and every prefix e^(r-1) is also a lane, so
+    # reachable costs (and recovered paths) are exactly unchanged — the
+    # frontier just advances up to R steps down corridors per round. The
+    # search is round-latency-bound on TPU, so fewer rounds is the lever.
+    lattice_reps: int = 1
+    # Heuristic inflation (weighted A* / bounded suboptimality): f = g +
+    # weight * h. 1.0 = admissible (default); > 1.0 greedily cuts
+    # expansions and rounds at a path cost penalty bounded by the factor.
+    heuristic_weight: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

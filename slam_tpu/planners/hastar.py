@@ -212,7 +212,7 @@ def _ha_round(
     if cfg.heuristic == "geodesic":
         hnew = hfield[tgt_f]
     else:
-        hnew = jnp.sqrt(
+        hnew = cfg.heuristic_weight * jnp.sqrt(
             (nx.reshape(-1) - bx) ** 2 + (ny.reshape(-1) - by) ** 2
         )
     fnew = jnp.where((cand_f < INF) & (hnew < INF), cand_f + hnew, INF)
@@ -308,44 +308,56 @@ def _lattice_tables(cfg: HybridAStarConfig, shape):
     return flat_off, di_t, dj_t, cost_t, seg, inv_off, nk_t
 
 
+def _lane_seqs(cfg, e: int):
+    """Expansion lanes as edge-id SEQUENCES. Always the E single edges;
+    `lattice_reps`=R adds the same-edge repetitions e^r (r = 2..R) —
+    constant-steer arcs and straight runs whose every prefix is also a
+    lane, so reachable costs are exactly unchanged while the frontier
+    advances up to R steps per pop; `lattice_depth`=2 adds all E^2
+    two-edge pairs (measured worse on v5e — duplicate-target flood — but
+    kept as a config option). The stored parent edge of any macro commit
+    is the LAST constituent edge; its predecessor along that edge was
+    committed in the same round via the one-shorter prefix lane, so
+    parent-chain recovery walks single edges regardless of lane depth."""
+    if cfg.lattice_depth not in (1, 2):
+        raise ValueError(f"lattice_depth must be 1 or 2, got {cfg.lattice_depth}")
+    if cfg.lattice_reps < 1:
+        raise ValueError(f"lattice_reps must be >= 1, got {cfg.lattice_reps}")
+    seqs = [(ei,) for ei in range(e)]
+    for r in range(2, cfg.lattice_reps + 1):
+        seqs += [(ei,) * r for ei in range(e)]
+    if cfg.lattice_depth == 2:
+        seqs += [(e1, e2) for e1 in range(e) for e2 in range(e)]
+    return seqs
+
+
 def _lattice_lane_tables(cfg, flat_off, di_t, dj_t, cost_t, nk_t):
-    """Expansion LANES per theta bin: the E single edges, plus — at
-    `lattice_depth=2` — all E^2 two-edge macro successors (`(e1, e2)`:
-    target = n + off[k, e1] + off[nk(k, e1), e2]). Macro edges advance the
-    frontier two steps per round, halving the round count (the search is
-    depth-, not work-, limited on TPU); the stored parent edge of a macro
-    commit is e2, and its intermediate is always also committed via its
-    own depth-1 lane, so parent-chain recovery is unchanged.
+    """Per-bin lane tables for the `_lane_seqs` lanes: each lane is the
+    composition of its edge sequence (offset/cell-delta/cost accumulate
+    through the evolving theta bin).
 
     Returns (off, di, dj, cost, edge) each [K, L] / [L]."""
     k, e = flat_off.shape
-    if cfg.lattice_depth == 1:
-        return flat_off, di_t, dj_t, cost_t, np.arange(e, dtype=np.int32)
-    if cfg.lattice_depth != 2:
-        raise ValueError(f"lattice_depth must be 1 or 2, got {cfg.lattice_depth}")
-    l2 = e * e
-    off2 = np.zeros((k, l2), np.int32)
-    di2 = np.zeros((k, l2), np.int32)
-    dj2 = np.zeros((k, l2), np.int32)
-    cost2 = np.zeros((k, l2), np.float32)
-    edge2 = np.zeros((l2,), np.int32)
-    for e1 in range(e):
-        for e2 in range(e):
-            p = e1 * e + e2
-            edge2[p] = e2
-            for kk in range(k):
-                k1 = nk_t[kk, e1]
-                off2[kk, p] = flat_off[kk, e1] + flat_off[k1, e2]
-                di2[kk, p] = di_t[kk, e1] + di_t[k1, e2]
-                dj2[kk, p] = dj_t[kk, e1] + dj_t[k1, e2]
-                cost2[kk, p] = cost_t[kk, e1] + cost_t[k1, e2]
-    return (
-        np.concatenate([flat_off, off2], 1),
-        np.concatenate([di_t, di2], 1),
-        np.concatenate([dj_t, dj2], 1),
-        np.concatenate([cost_t, cost2], 1),
-        np.concatenate([np.arange(e, dtype=np.int32), edge2]),
-    )
+    seqs = _lane_seqs(cfg, e)
+    ln = len(seqs)
+    off = np.zeros((k, ln), np.int32)
+    di = np.zeros((k, ln), np.int32)
+    dj = np.zeros((k, ln), np.int32)
+    # Accumulate in the caller's cost dtype: passing PRE-quantized i32
+    # single-edge costs makes every macro lane cost exactly the sum of its
+    # steps (round-after-compose would drift +-1 quantum vs stepping).
+    cost = np.zeros((k, ln), cost_t.dtype)
+    edge = np.asarray([seq[-1] for seq in seqs], np.int32)
+    for p, seq in enumerate(seqs):
+        for kk in range(k):
+            kb = kk
+            for ei in seq:
+                off[kk, p] += flat_off[kb, ei]
+                di[kk, p] += di_t[kb, ei]
+                dj[kk, p] += dj_t[kb, ei]
+                cost[kk, p] += cost_t[kb, ei]
+                kb = nk_t[kb, ei]
+    return off, di, dj, cost, edge
 
 
 # Packed lattice cost word: i32 = (g quantized to 1/_G_SCALE) << _EDGE_BITS
@@ -362,20 +374,21 @@ def _lattice_feas_words(
     free: jax.Array, seg: np.ndarray, di_t, dj_t, nk_t, cfg
 ):
     """u32[S, W] per-node lane-feasibility words (bit l%32 of word l//32 =
-    expansion lane l is clear from node n). Lane l < E is single edge
-    (k, l): every sampled segment cell free and in bounds — an AND of
-    integer-shifted copies of the free mask (no raycasts; the "precomputed
-    edge feasibility rolls"). At lattice_depth=2, lane E + e1*E + e2 is
-    the macro edge: edge e1 clear at n AND edge e2 clear at the
-    intermediate (a shifted copy of the e2 map; out-of-bounds
-    intermediates land False automatically).
+    expansion lane l is clear from node n). A single-edge lane (k, e) is
+    clear iff every sampled segment cell is free and in bounds — an AND
+    of integer-shifted copies of the free mask (no raycasts; the
+    "precomputed edge feasibility rolls"). A macro lane (repetition or
+    depth-2 pair) ANDs each constituent edge's map shifted by the
+    cumulative cell offset of its prefix (out-of-bounds intermediates
+    land False automatically).
 
     The whole build runs as ONE jitted program: the static-shift loops
     would otherwise dispatch thousands of tiny eager device ops (minutes
     of round trips on a tunneled TPU)."""
     h, w = free.shape
     k, e, t, _ = seg.shape
-    lanes_n = e if cfg.lattice_depth == 1 else e + e * e
+    seqs = _lane_seqs(cfg, e)
+    lanes_n = len(seqs)
     words = -(-lanes_n // 32)
 
     @jax.jit
@@ -404,16 +417,33 @@ def _lattice_feas_words(
                     acc = maps[key] if acc is None else (acc & maps[key])
                 F[kk][ei] = acc
 
+        # Shifted single-edge maps memoized across lanes/bins: prefix
+        # lanes (e^2 inside e^3, pairs sharing a first edge) reuse them.
+        shift_cache = {}
+
+        def edge_map(kb, ei, ci, cj):
+            key = (kb, ei, ci, cj)
+            if key not in shift_cache:
+                shift_cache[key] = (
+                    F[kb][ei] if ci == 0 and cj == 0
+                    else shifted(F[kb][ei], ci, cj)
+                )
+            return shift_cache[key]
+
         per_k_words = []
         for kk in range(k):
-            lanes = list(F[kk])
-            if cfg.lattice_depth == 2:
-                for e1 in range(e):
-                    d1i = int(di_t[kk, e1])
-                    d1j = int(dj_t[kk, e1])
-                    k1 = int(nk_t[kk, e1])
-                    for e2 in range(e):
-                        lanes.append(F[kk][e1] & shifted(F[k1][e2], d1i, d1j))
+            lanes = []
+            for seq in seqs:
+                acc = None
+                ci = cj = 0
+                kb = kk
+                for ei in seq:
+                    m = edge_map(kb, ei, ci, cj)
+                    acc = m if acc is None else (acc & m)
+                    ci += int(di_t[kb, ei])
+                    cj += int(dj_t[kb, ei])
+                    kb = int(nk_t[kb, ei])
+                lanes.append(acc)
             wk = []
             for wi in range(words):
                 acc = jnp.zeros((h, w), jnp.uint32)
@@ -561,6 +591,14 @@ def _lattice_round(
     )
 
 
+def _weight_h(hfield, cfg):
+    """Weighted-A* heuristic inflation (f = g + weight*h), preserving the
+    INF = goal-unreachable sentinel exactly."""
+    if cfg.heuristic_weight == 1.0:
+        return hfield
+    return jnp.where(hfield < INF, hfield * cfg.heuristic_weight, INF)
+
+
 def _coarse_geodesic_cells(free, bx, by, cfg, shape):
     """Per-cell [H*W] goal-distance heuristic: the A* wavefront on a
     `coarse`-downsampled grid (max-pooled free space -> admissible
@@ -602,6 +640,7 @@ def _lattice_query_init(free, a_xyt, b_xyt, cfg, shape, cap):
             (jj + 0.5 - b_xyt[0]) ** 2 + ((h - ii) - 0.5 - b_xyt[1]) ** 2
         )
         hfield = d.reshape(-1)
+    hfield = _weight_h(hfield, cfg)
     state = LatticeState(
         gp=jnp.full((s,), _INF_PACKED, jnp.int32).at[start_idx].set(0),
         o_idx=jnp.zeros((cap,), jnp.int32)
@@ -684,12 +723,14 @@ def _ha_query_init(free, a_xyt, b_xyt, cfg, shape):
     ).astype(jnp.int32)
     goal = b_xyt[:2]
     if cfg.heuristic == "geodesic":
-        cells = _coarse_geodesic_cells(free, b_xyt[0], b_xyt[1], cfg, shape)
+        cells = _weight_h(
+            _coarse_geodesic_cells(free, b_xyt[0], b_xyt[1], cfg, shape), cfg
+        )
         hfield = jnp.repeat(cells, k)
         h_start = hfield[start_idx]
     else:
         hfield = jnp.zeros((1,), jnp.float32)  # computed in-round
-        h_start = jnp.sqrt(
+        h_start = cfg.heuristic_weight * jnp.sqrt(
             (a_xyt[0] - b_xyt[0]) ** 2 + (a_xyt[1] - b_xyt[1]) ** 2
         )
     state = HAState(
@@ -810,8 +851,9 @@ class HybridAStar:
                     f"bits; branching_factor {self.cfg.branching_factor} "
                     f"needs {e_n} edge ids"
                 )
+            cost_q = np.round(cost_t * _G_SCALE).astype(np.int32)
             off_l, di_l, dj_l, cost_l, edge_l = _lattice_lane_tables(
-                self.cfg, flat_off, di_t, dj_t, cost_t, nk_t
+                self.cfg, flat_off, di_t, dj_t, cost_q, nk_t
             )
             self._lat_feas = _lattice_feas_words(
                 free, seg, di_t, dj_t, nk_t, self.cfg
@@ -819,9 +861,7 @@ class HybridAStar:
             self._lat_off = jnp.asarray(off_l)
             self._lat_di = jnp.asarray(di_l)
             self._lat_dj = jnp.asarray(dj_l)
-            self._lat_cost = jnp.asarray(
-                np.round(cost_l * _G_SCALE).astype(np.int32)
-            )
+            self._lat_cost = jnp.asarray(cost_l)
             self._lat_edge = jnp.asarray(edge_l)
             self._lat_inv_off = inv_off  # host-side (path recovery)
         else:

@@ -232,6 +232,59 @@ class TestHybridAStarLattice:
         assert ref.solve(max_rounds=400)
         assert abs(p.path_cost() - ref.path_cost()) <= 3 * self.CFG.velocity
 
+    def test_reps_macro_lanes_exact_cost_fewer_rounds(self):
+        """lattice_reps adds same-steer repetition lanes (straight runs /
+        constant arcs). Reachable costs are EXACTLY unchanged — every
+        prefix is also a lane and single-edge costs are quantized before
+        composition — while corridors resolve in fewer rounds."""
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+
+        def run(cfg):
+            p = HybridAStar(jnp.asarray(free), a, b, cfg)
+            n = 0
+            while not p.pathfind():
+                n += 1
+                assert n < 500
+            assert p.success
+            return n, p.path_cost(), p.recover_path()
+
+        n1, c1, _ = run(self.CFG)
+        cfg3 = dataclasses.replace(self.CFG, lattice_reps=3)
+        n3, c3, path3 = run(cfg3)
+        assert abs(c3 - c1) < 1e-3
+        assert n3 < n1
+        for i, j in path3:
+            if j == 32:
+                assert 28 <= i < 38
+        # Fused solve agrees with the incremental driver on macro lanes.
+        p = HybridAStar(jnp.asarray(free), a, b, cfg3)
+        assert p.solve(max_rounds=400)
+        assert abs(p.path_cost() - c3) < 1e-3
+
+    def test_weighted_heuristic_bounded_suboptimality(self):
+        """heuristic_weight > 1 (weighted A*) still reaches the goal with
+        cost within the inflation bound, in no more rounds."""
+        free = wall_map(64, 64, gap=(28, 38))
+        a = Pose.create(10.0, 32.0, 0.0)
+        b = Pose.create(54.0, 32.0, 0.0)
+
+        def run(cfg):
+            p = HybridAStar(jnp.asarray(free), a, b, cfg)
+            n = 0
+            while not p.pathfind():
+                n += 1
+                assert n < 500
+            assert p.success
+            return n, p.path_cost()
+
+        for base in (self.CFG, TestHybridAStar.CFG):  # lattice + continuous
+            n1, c1 = run(base)
+            nw, cw = run(dataclasses.replace(base, heuristic_weight=1.5))
+            assert cw <= 1.5 * c1 + 1e-3
+            assert nw <= n1
+
     def test_solve_many_matches_single(self):
         free = wall_map(64, 64, gap=(28, 38))
         queries = [
