@@ -213,10 +213,14 @@ class HybridAStarConfig:
     # gather/scatter-min with no raycasts.
     mode: str = "continuous"
     # Lattice open-list ring capacity. The frontier lives in a compact
-    # [capacity] buffer (no full-cuboid pass per round); it holds every
-    # not-yet-popped g-improvement, so it must exceed the number of
-    # improvements in flight (frontier width), not the cuboid size.
-    open_capacity: int = 1 << 18
+    # [capacity] buffer (no full-cuboid pass per round); slots recycle
+    # round-robin, so an entry not popped within `capacity` subsequent
+    # insertions is overwritten. The search counts such live-entry
+    # overwrites (`LatticeState.n_lost`) and an exhaustion verdict with
+    # n_lost > 0 is reported as unsound (logged by `solve`). 1M entries =
+    # 8 MB and one per-round argmin pass over 4 MB; the effective size is
+    # clamped to ~4x the cuboid on small maps.
+    open_capacity: int = 1 << 20
     # Lattice expansion depth: 2 adds the E^2 two-edge macro successors
     # per pop (pair feasibility precomputed as shifted-ANDs), advancing
     # the frontier two steps per round. MEASURED SLOWER on v5e (194 ->

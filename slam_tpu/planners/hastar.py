@@ -484,6 +484,11 @@ class LatticeState:
     goal_idx: jax.Array
     goal_cost: jax.Array
     n_expanded: jax.Array
+    # i32: not-yet-popped ring entries overwritten by wraparound
+    # (conservative: stale duplicates count too). > 0 means the frontier
+    # MAY have lost nodes — a subsequent "open list empty" exhaustion is
+    # then not a proof of unreachability (solve logs a warning).
+    n_lost: jax.Array
 
 
 def _lattice_round(
@@ -568,15 +573,24 @@ def _lattice_round(
 
     # Insert improvements: compact to consecutive ring slots. Dead (goal-
     # unreachable, h == INF) successors are not inserted, so the search
-    # terminates on exhaustion.
+    # terminates on exhaustion. Only scatter-min WINNERS insert (one
+    # post-scatter row gather): several same-round pops along a corridor
+    # commit the same cell through different lanes, and inserting the
+    # losers floods the ring with stale entries that waste future pop
+    # slots — with macro lanes the duplicate rate scales with reps.
     imp_f = imp.reshape(-1)
     fnew = (
         (candq.reshape(-1).astype(jnp.float32)) * inv_scale
         + hfield[tgt_f // kbins]
     )
-    insert = imp_f & (fnew < INF)
+    insert = imp_f & (fnew < INF) & (packed.reshape(-1) == gp[tgt_f])
     rank = jnp.cumsum(insert.astype(jnp.int32)) - 1
     slot = jnp.where(insert, (st.wp + rank) % c, c)
+    # Wraparound audit: a still-live entry in a recycled slot is a lost
+    # frontier node (see LatticeState.n_lost). Read before overwriting.
+    lost = jnp.sum(
+        jnp.where(insert, o_f[jnp.minimum(slot, c - 1)] < INF, False)
+    )
     o_idx = st.o_idx.at[slot].set(tgt_f, mode="drop")
     o_f = o_f.at[slot].set(fnew, mode="drop")
 
@@ -588,6 +602,7 @@ def _lattice_round(
         goal_idx=goal_idx,
         goal_cost=goal_cost,
         n_expanded=st.n_expanded + jnp.sum(pop_valid),
+        n_lost=st.n_lost + lost,
     )
 
 
@@ -651,6 +666,7 @@ def _lattice_query_init(free, a_xyt, b_xyt, cfg, shape, cap):
         goal_idx=jnp.int32(-1),
         goal_cost=jnp.float32(INF),
         n_expanded=jnp.int32(0),
+        n_lost=jnp.int32(0),
     )
     return goal, target_bin, hfield, state
 
@@ -886,8 +902,11 @@ class HybridAStar:
     # -- driver -----------------------------------------------------------
 
     def _ring_capacity(self) -> int:
-        return -(-max(self.cfg.open_capacity, self.cfg.batch)
-                 // self.cfg.batch) * self.cfg.batch
+        # Clamp to ~4x the cuboid: more slots than that cannot hold
+        # distinct useful entries, and the per-round argmin scans the ring.
+        s = self.shape[0] * self.shape[1] * self.cfg.theta_res
+        cap = max(min(self.cfg.open_capacity, 4 * s), self.cfg.batch)
+        return -(-cap // self.cfg.batch) * self.cfg.batch
 
     def _ensure_query_state(self):
         """Materialize the lazy query state (incremental API / fleet
@@ -936,8 +955,26 @@ class HybridAStar:
         )
         if not bool(open_any):
             self.used_up = True
+            self._warn_if_overflowed()
             return True
         return False
+
+    def _warn_if_overflowed(self):
+        """Exhaustion with ring-overwritten entries is not a proof of
+        unreachability — surface it (lattice mode only)."""
+        if self.cfg.mode != "lattice" or self.success:
+            return
+        lost = int(self.state.n_lost)
+        if lost > 0:
+            from slam_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "hastar lattice: open ring overwrote %d not-yet-popped "
+                "entries (capacity %d); exhaustion is inconclusive — "
+                "raise HybridAStarConfig.open_capacity",
+                lost,
+                self._ring_capacity(),
+            )
 
     def solve(self, max_rounds: Optional[int] = None) -> bool:
         max_rounds = max_rounds or self.cfg.max_rounds
@@ -985,6 +1022,7 @@ class HybridAStar:
             self.success = True
         else:
             self.used_up = True
+            self._warn_if_overflowed()
         return self.success
 
     def solve_many(self, queries, max_rounds: Optional[int] = None):

@@ -263,6 +263,21 @@ class TestHybridAStarLattice:
         assert p.solve(max_rounds=400)
         assert abs(p.path_cost() - c3) < 1e-3
 
+    def test_open_ring_overflow_detected(self):
+        """A deliberately tiny open ring must count overwritten live
+        entries (n_lost) — exhaustion is then not proof of
+        unreachability; a sane capacity loses nothing on the same map."""
+        free = np.ones((64, 64), bool)
+        a = Pose.create(10.0, 10.0, 0.0)
+        b = Pose.create(50.0, 50.0, 0.0)
+        tiny = dataclasses.replace(self.CFG, open_capacity=64, batch=16)
+        p = HybridAStar(jnp.asarray(free), a, b, tiny)
+        p.solve(max_rounds=400)
+        assert int(p.state.n_lost) > 0
+        p2 = HybridAStar(jnp.asarray(free), a, b, self.CFG)
+        assert p2.solve(max_rounds=200)
+        assert int(p2.state.n_lost) == 0
+
     def test_weighted_heuristic_bounded_suboptimality(self):
         """heuristic_weight > 1 (weighted A*) still reaches the goal with
         cost within the inflation bound, in no more rounds."""
