@@ -1029,8 +1029,8 @@ class HybridAStar:
         """Solve Q independent (start, goal) queries in one device program
         (lattice mode only): states advance in lockstep, so the per-round
         device floor amortizes across the fleet. Returns a list of
-        (success, cost) per query; call `recover_path_from(state_q, q)` via
-        the returned states for paths.
+        (success, cost) per query; `recover_path_for(q)` then walks query
+        q's parent chain.
 
         The reference replans one mouse query at a time
         (`apps/hastar_planner.cpp:50-117`); a robot fleet sharing one map is
@@ -1039,7 +1039,7 @@ class HybridAStar:
         if self.cfg.mode != "lattice":
             raise ValueError("solve_many requires mode='lattice'")
         max_rounds = max_rounds or self.cfg.max_rounds
-        states, goals, tbins, hfields = [], [], [], []
+        states, goals, tbins, hfields, starts = [], [], [], [], []
         for a, b in queries:
             self.reset_query(a, b)
             self._ensure_query_state()
@@ -1047,6 +1047,9 @@ class HybridAStar:
             goals.append(self._goal)
             tbins.append(self._target_bin)
             hfields.append(self._hfield)
+            starts.append(
+                int(np.asarray(self._pose_to_cuboid(a.x, a.y, a.theta)))
+            )
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         out = _lattice_solve_many_jit(
             stacked,
@@ -1069,7 +1072,36 @@ class HybridAStar:
         for q in range(len(queries)):
             results.append((int(goal_idx[q]) >= 0, float(goal_cost[q])))
         self._fleet_state = out
+        self._fleet_starts = starts
         return results
+
+    def recover_path_for(self, q: int) -> List[Tuple[int, int]]:
+        """Parent-chain walk (image coords) for query q of the last
+        `solve_many` batch — the fleet analogue of `recover_path`."""
+        out = self._fleet_state
+        idx = int(out.goal_idx[q])
+        if idx < 0:
+            return []
+        return self._walk_lattice_chain(
+            np.asarray(out.gp[q]), idx, self._fleet_starts[q]
+        )
+
+    def _walk_lattice_chain(self, gp, idx, start_idx):
+        k = self.cfg.theta_res
+        w = self.shape[1]
+        emask = (1 << _EDGE_BITS) - 1
+        path = []
+        seen = 0
+        while idx >= 0 and idx != start_idx and seen <= len(gp):
+            word = int(gp[idx])
+            if word == int(_INF_PACKED):
+                break
+            cell = idx // k
+            path.append((cell // w, cell % w))
+            idx = idx - int(self._lat_inv_off[idx % k, word & emask])
+            seen += 1
+        path.reverse()
+        return path
 
     def recover_path(self) -> List[Tuple[int, int]]:
         """Parent-chain walk returning image coords
@@ -1085,18 +1117,9 @@ class HybridAStar:
         start_idx = int(np.asarray(self._pose_to_cuboid(self.a.x, self.a.y, self.a.theta)))
         seen = 0
         if self.cfg.mode == "lattice":
-            gp = np.asarray(self.state.gp)
-            emask = (1 << _EDGE_BITS) - 1
-            while idx >= 0 and idx != start_idx and seen <= len(gp):
-                word = int(gp[idx])
-                if word == int(_INF_PACKED):
-                    break
-                cell = idx // k
-                path.append((cell // w, cell % w))
-                idx = idx - int(self._lat_inv_off[idx % k, word & emask])
-                seen += 1
-            path.reverse()
-            return path
+            return self._walk_lattice_chain(
+                np.asarray(self.state.gp), idx, start_idx
+            )
         parent = np.asarray(self.state.parent)
         while idx >= 0 and idx != start_idx and seen <= len(parent):
             cell = idx // k

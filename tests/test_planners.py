@@ -309,11 +309,23 @@ class TestHybridAStarLattice:
         ]
         p = HybridAStar(jnp.asarray(free), queries[0][0], queries[0][1], self.CFG)
         fleet = p.solve_many(queries, max_rounds=400)
-        for (a, b), (ok, cost) in zip(queries, fleet):
+        fleet_paths = [p.recover_path_for(q) for q in range(len(queries))]
+        for q, ((a, b), (ok, cost)) in enumerate(zip(queries, fleet)):
             p.reset_query(a, b)
             assert p.solve(max_rounds=400) == ok
             if ok:
                 assert abs(cost - p.path_cost()) < 1e-3
+                path = fleet_paths[q]
+                assert len(path) >= 3
+                # Fleet path ends one edge from the query start cell.
+                si = int(free.shape[0] - float(a.y) - 1)
+                sj = int(float(a.x))
+                assert abs(path[0][0] - si) + abs(path[0][1] - sj) <= 2 * int(
+                    self.CFG.velocity
+                )
+                for i, j in path:
+                    if j == 32:
+                        assert 28 <= i < 38
 
 
 class TestRRTStar:
