@@ -89,22 +89,30 @@ def bench_hastar(args):
         ),
         branching_factor=3,
         tol=5.0,
-        # Lattice rounds are [S]-pass-dominated (no raycasts), so a much
+        # Lattice rounds are latency-, not compute-, bound, so a much
         # larger pop batch cuts round count nearly for free.
         batch=(
             args.hastar_batch
             if args.hastar_mode == "continuous"
-            else max(args.hastar_batch, 4096)
+            else max(args.hastar_batch, 8192)
         ),
         mode=args.hastar_mode,
-        # Same-steer macro lanes advance corridors several steps per
-        # latency-bound round; 1 = single edges (see HybridAStarConfig).
+        # Macro lanes pay off only when the inflated heuristic makes pops
+        # scarce (RESULTS.md "round 2b"): reps=3 + w=1.25 + batch 8192 is
+        # the measured 29-round / cost-750 / no-ring-overflow config on
+        # THESE endpoints (116 rounds / cost 745 for reps=1 w=1.0); reps
+        # alone is WORSE than single edges. Continuous mode is
+        # depth-bound and keeps the admissible heuristic.
         lattice_reps=(
             args.hastar_reps
             if args.hastar_reps is not None
             else (3 if args.hastar_mode == "lattice" else 1)
         ),
-        heuristic_weight=args.hastar_hweight,
+        heuristic_weight=(
+            args.hastar_hweight
+            if args.hastar_hweight is not None
+            else (1.25 if args.hastar_mode == "lattice" else 1.0)
+        ),
     )
     # Edge feasibility via the directional LUT: one gather per edge. The
     # table is built once per map (construct-once + reset_query, exactly the
@@ -246,7 +254,7 @@ def main():
     )
     ap.add_argument("--hastar-tres", type=int, default=None)
     ap.add_argument("--hastar-reps", type=int, default=None)
-    ap.add_argument("--hastar-hweight", type=float, default=1.0)
+    ap.add_argument("--hastar-hweight", type=float, default=None)
     ap.add_argument("--rrt-batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

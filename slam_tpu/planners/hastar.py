@@ -328,7 +328,8 @@ def _lane_seqs(cfg, e: int):
         seqs += [(ei,) * r for ei in range(e)]
     if cfg.lattice_depth == 2:
         seqs += [(e1, e2) for e1 in range(e) for e2 in range(e)]
-    return seqs
+    # depth-2 + reps>=2 both generate (e, e): dedup, preserving order.
+    return list(dict.fromkeys(seqs))
 
 
 def _lattice_lane_tables(cfg, flat_off, di_t, dj_t, cost_t, nk_t):
@@ -473,9 +474,12 @@ class LatticeState:
     O(capacity + batch*E), independent of map size (the full-cuboid f-pass
     was ~95% of the round at theta_res=36). The round is latency-, not
     compute-, bound, so the design minimizes the op dependency chain: one
-    i32 scatter-min commits (g, parent edge) together, feasibility is one
-    u8 scalar gather per pop (bit per edge), and there is no post-scatter
-    winner readback (stale ring entries die by lazy deletion)."""
+    i32 scatter-min commits (g, parent edge) together, and feasibility is
+    one u32 word-row gather per pop (bit per lane). Ring inserts ARE
+    filtered through one post-scatter winner gather — measured worth its
+    chain slot: without it, same-round corridor duplicates flood the ring
+    with stale entries that waste future pop slots (remaining stale
+    entries die by lazy deletion at pop time)."""
 
     gp: jax.Array  # i32[S] packed (g << _EDGE_BITS | edge); _INF_PACKED=unset
     o_idx: jax.Array  # i32[C] cuboid index per open entry
@@ -496,8 +500,9 @@ def _lattice_round(
     target_bin, hfield, cfg, shape,
 ):
     """One batched expansion over the compact open list. Tables are
-    [K, L]-laned (L = E single edges, or E + E^2 with depth-2 macro
-    edges); `feasw` is the u32[S, W] lane-bit table."""
+    [K, L]-laned over the `_lane_seqs` lanes (E single edges, plus
+    same-edge repetitions at lattice_reps>=2 and/or the E^2 pairs at
+    lattice_depth=2); `feasw` is the u32[S, W] lane-bit table."""
     h, w = shape
     kbins = cfg.theta_res
     kpop = cfg.batch
@@ -587,10 +592,14 @@ def _lattice_round(
     rank = jnp.cumsum(insert.astype(jnp.int32)) - 1
     slot = jnp.where(insert, (st.wp + rank) % c, c)
     # Wraparound audit: a still-live entry in a recycled slot is a lost
-    # frontier node (see LatticeState.n_lost). Read before overwriting.
+    # frontier node (see LatticeState.n_lost). Read before overwriting;
+    # if one round inserts more than the whole ring holds, the slots
+    # that collide within the round destroy each other too (the scatter
+    # keeps one arbitrary winner per slot) — count those explicitly.
+    n_ins = jnp.sum(insert)
     lost = jnp.sum(
         jnp.where(insert, o_f[jnp.minimum(slot, c - 1)] < INF, False)
-    )
+    ) + jnp.maximum(0, n_ins - c)
     o_idx = st.o_idx.at[slot].set(tgt_f, mode="drop")
     o_f = o_f.at[slot].set(fnew, mode="drop")
 
@@ -898,14 +907,28 @@ class HybridAStar:
             jnp.asarray([b.x, b.y, b.theta], jnp.float32),
         )
         self.state = None
+        self._fleet_state = None
 
     # -- driver -----------------------------------------------------------
 
     def _ring_capacity(self) -> int:
-        # Clamp to ~4x the cuboid: more slots than that cannot hold
-        # distinct useful entries, and the per-round argmin scans the ring.
-        s = self.shape[0] * self.shape[1] * self.cfg.theta_res
-        cap = max(min(self.cfg.open_capacity, 4 * s), self.cfg.batch)
+        # The DEFAULT capacity is clamped to ~4x the cuboid (more slots
+        # than that rarely hold distinct useful entries on small maps,
+        # and the per-round argmin scans the ring); an EXPLICIT user
+        # capacity is honored as-is — the n_lost overflow warning tells
+        # users to raise it, which must not be a silent no-op.
+        import dataclasses as _dc
+
+        default_cap = next(
+            f.default
+            for f in _dc.fields(HybridAStarConfig)
+            if f.name == "open_capacity"
+        )
+        cap = self.cfg.open_capacity
+        if cap == default_cap:
+            s = self.shape[0] * self.shape[1] * self.cfg.theta_res
+            cap = min(cap, 4 * s)
+        cap = max(cap, self.cfg.batch)
         return -(-cap // self.cfg.batch) * self.cfg.batch
 
     def _ensure_query_state(self):
@@ -961,8 +984,12 @@ class HybridAStar:
 
     def _warn_if_overflowed(self):
         """Exhaustion with ring-overwritten entries is not a proof of
-        unreachability — surface it (lattice mode only)."""
+        unreachability — surface it (lattice mode only). A run that
+        merely hit max_rounds (open list non-empty) is not an exhaustion
+        verdict and does not warrant the warning."""
         if self.cfg.mode != "lattice" or self.success:
+            return
+        if bool(jnp.any(self.state.o_f < INF)):
             return
         lost = int(self.state.n_lost)
         if lost > 0:
@@ -1047,9 +1074,7 @@ class HybridAStar:
             goals.append(self._goal)
             tbins.append(self._target_bin)
             hfields.append(self._hfield)
-            starts.append(
-                int(np.asarray(self._pose_to_cuboid(a.x, a.y, a.theta)))
-            )
+            starts.append(self._host_cuboid_index(a))
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         out = _lattice_solve_many_jit(
             stacked,
@@ -1075,9 +1100,28 @@ class HybridAStar:
         self._fleet_starts = starts
         return results
 
+    def _host_cuboid_index(self, p: Pose) -> int:
+        """`_pose_to_cuboid` in host arithmetic (no device dispatch — on a
+        tunneled TPU every eager op is a round trip)."""
+        h, w = self.shape
+        k = self.cfg.theta_res
+        f32 = np.float32
+        x, y, th = f32(float(p.x)), f32(float(p.y)), f32(float(p.theta))
+        i = int(np.clip(np.floor(f32(h) - y - f32(1.0)), 0, h - 1))
+        j = int(np.clip(np.floor(x), 0, w - 1))
+        ang = np.mod(th + f32(2 * np.pi), f32(2 * np.pi))
+        kk = int(np.clip(np.int32(ang / f32(2 * np.pi / k)), 0, k - 1))
+        return (i * w + j) * k + kk
+
     def recover_path_for(self, q: int) -> List[Tuple[int, int]]:
         """Parent-chain walk (image coords) for query q of the last
-        `solve_many` batch — the fleet analogue of `recover_path`."""
+        `solve_many` batch — the fleet analogue of `recover_path`. Only
+        valid until the next `reset_query`/`solve_many`."""
+        if self._fleet_state is None:
+            raise ValueError(
+                "recover_path_for: no solve_many results are live "
+                "(call solve_many first; reset_query invalidates them)"
+            )
         out = self._fleet_state
         idx = int(out.goal_idx[q])
         if idx < 0:
@@ -1114,7 +1158,7 @@ class HybridAStar:
         w = self.shape[1]
         path = []
         idx = int(self.state.goal_idx)
-        start_idx = int(np.asarray(self._pose_to_cuboid(self.a.x, self.a.y, self.a.theta)))
+        start_idx = self._host_cuboid_index(self.a)
         seen = 0
         if self.cfg.mode == "lattice":
             return self._walk_lattice_chain(
