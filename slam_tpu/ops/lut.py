@@ -19,6 +19,16 @@ conservative (a rotated cell is blocked if ANY of its 4 bilinear neighbors
 is), so thin walls never develop leaks; distances are thereby shortened by at
 most ~1px.
 
+Four-fold symmetry (when n_bins % 4 == 0, the default): one rotated canvas
+serves bins theta, theta+90, theta+180, theta+270 — their ray directions are
+the +col, -row, -col, +row axes of the SAME canvas, so the four distance
+fields are the four forward/reverse cummin/cummax scans, and (because the
+back-sample coordinates of the four bins are the point-symmetric images of
+each other around the canvas center) all four sample back at IDENTICAL
+[ui, vi] indices. The build is gather-bound; this cuts the rotation gathers
+4x and fuses the four back-samples into one 4-value row gather (~3-4x
+end-to-end on big maps).
+
 Errors vs the exact march: angular binning (<= pi/n_bins), rotation resampling
 (<= ~1px), origin-to-cell-center snap (<= ~0.7px). With the reference's
 sigma=5px beam noise (`apps/grid_slam.cpp:88`) these are well inside the
@@ -41,6 +51,8 @@ def build_beam_lut(
     n_bins: int = 360,
     max_dist: float = 500.0,
     dtype=jnp.bfloat16,
+    *,
+    _force_per_bin: bool = False,
 ) -> jax.Array:
     """[H, W, n_bins] distance-to-obstacle table (values capped just above
     max_dist so queries >= max_dist read as misses).
@@ -59,6 +71,7 @@ def build_beam_lut(
 
     uu = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0) - cd
     vv = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1) - cd
+    ucol = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0)
     vcol = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1)
 
     ii_img = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - ci
@@ -79,8 +92,7 @@ def build_beam_lut(
         jc = jnp.clip(j, 0, w - 1)
         return dil_flat[ic * w + jc] & inb
 
-    def one_bin(b):
-        theta = b.astype(jnp.float32) * (2.0 * jnp.pi / n_bins)
+    def canvas_and_back_idx(theta):
         # Ray direction in image coords (world y-up -> image row-down).
         di = -jnp.sin(theta)
         dj = jnp.cos(theta)
@@ -89,20 +101,15 @@ def build_beam_lut(
         fi = ci + uu * dj + vv * di
         fj = cj + uu * (-di) + vv * dj
         rot_blocked = sample_blocked(fi, fj)
-
-        nb = jax.lax.cummin(
-            jnp.where(rot_blocked, vcol, jnp.float32(1 << 20)),
-            axis=1,
-            reverse=True,
-        )
-        run = jnp.minimum(nb - vcol, cap)  # [d, d]
-
-        # Sample back at original cell centers: rotated coords of (i, j).
+        # Back-sample at original cell centers: rotated coords of (i, j).
         u_q = ii_img * dj + jj_img * (-di) + cd
         v_q = ii_img * di + jj_img * dj + cd
         ui = jnp.clip(jnp.round(u_q).astype(jnp.int32), 0, d - 1)
         vi = jnp.clip(jnp.round(v_q).astype(jnp.int32), 0, d - 1)
-        out = run[ui, vi]
+        return rot_blocked, ui, vi
+
+    def encode(run):
+        out = jnp.minimum(run, cap)
         if dtype == jnp.uint8:
             # Fixed-point: v = floor(d / q), q = cap/255 (dequant adds q/2,
             # so the error is +-q/2 ~ +-1.2px at max_dist 500). Halves the
@@ -111,6 +118,47 @@ def build_beam_lut(
             q = cap / 255.0
             return jnp.clip(jnp.floor(out / q), 0.0, 255.0).astype(jnp.uint8)
         return out.astype(dtype)
+
+    big = jnp.float32(1 << 20)
+
+    # `_force_per_bin` exists so tests can check the symmetric quad build
+    # against the direct one-canvas-per-bin construction.
+    if n_bins % 4 == 0 and not _force_per_bin:
+        n4 = n_bins // 4
+
+        def one_quad(b):
+            theta = b.astype(jnp.float32) * (2.0 * jnp.pi / n_bins)
+            rot_blocked, ui, vi = canvas_and_back_idx(theta)
+            vb = jnp.where(rot_blocked, vcol, big)
+            vbn = jnp.where(rot_blocked, vcol, -big)
+            ub = jnp.where(rot_blocked, ucol, big)
+            ubn = jnp.where(rot_blocked, ucol, -big)
+            runs = [
+                # theta: distance along +v.
+                jax.lax.cummin(vb, axis=1, reverse=True) - vcol,
+                # theta + 90: ray dir == -u of this canvas.
+                ucol - jax.lax.cummax(ubn, axis=0),
+                # theta + 180: -v.
+                vcol - jax.lax.cummax(vbn, axis=1),
+                # theta + 270: +u.
+                jax.lax.cummin(ub, axis=0, reverse=True) - ucol,
+            ]
+            # Encode BEFORE the back-sample (elementwise commutes with the
+            # gather) so the fused row gather moves 4 encoded values/cell.
+            packed = jnp.stack([encode(r) for r in runs], axis=-1)
+            return packed.reshape(d * d, 4)[ui * d + vi]  # [h, w, 4]
+
+        per = jax.lax.map(one_quad, jnp.arange(n4, dtype=jnp.int32))
+        # per[b, i, j, q] -> bin index q * n4 + b.
+        return jnp.moveaxis(per, 0, -1).reshape(h, w, n_bins)
+
+    def one_bin(b):
+        theta = b.astype(jnp.float32) * (2.0 * jnp.pi / n_bins)
+        rot_blocked, ui, vi = canvas_and_back_idx(theta)
+        nb = jax.lax.cummin(
+            jnp.where(rot_blocked, vcol, big), axis=1, reverse=True
+        )
+        return encode((nb - vcol)[ui, vi])
 
     per_bin = jax.lax.map(one_bin, jnp.arange(n_bins, dtype=jnp.int32))
     return jnp.moveaxis(per_bin, 0, -1)  # [n_bins, H, W] -> [H, W, n_bins]

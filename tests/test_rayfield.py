@@ -79,7 +79,36 @@ class TestLut:
         assert np.median(err) < 1.5
         assert np.quantile(err, 0.95) < 4.0
 
-    def test_blocked_origin_and_miss(self):
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.uint8])
+    def test_quad_build_matches_per_bin(self, dtype):
+        """The 4-fold-symmetric build (one canvas per 4 bins) vs the direct
+        per-bin construction. The seed quarter (bins [0, n/4)) runs the
+        identical computation -> bitwise equal. Derived bins are NOT
+        bitwise: per-bin evaluates sin/cos at each bin's own f32 angle, and
+        on axis-aligned maps that ~1e-7 skew pushes exact-boundary samples
+        across floor() — measurably WRONG (e.g. a blocked origin cell reads
+        a nonzero distance); the quad path derives the 90/180/270
+        directions exactly and keeps the blocked-origin invariant."""
+        h, w = 80, 112
+        n = 64
+        blocked = jnp.asarray(synthetic_room(h, w))
+        quad = np.asarray(
+            lutlib.build_beam_lut(blocked, n_bins=n, max_dist=90.0, dtype=dtype)
+        )
+        ref = np.asarray(
+            lutlib.build_beam_lut(
+                blocked, n_bins=n, max_dist=90.0, dtype=dtype,
+                _force_per_bin=True,
+            )
+        )
+        np.testing.assert_array_equal(quad[:, :, : n // 4], ref[:, :, : n // 4])
+        same = quad == ref
+        assert same.mean() > 0.98, f"quad/per-bin mismatch {1 - same.mean():.2e}"
+        # The invariant the per-bin build breaks on derived axis bins:
+        # a ray starting inside an obstacle hits immediately.
+        B = np.asarray(blocked)
+        for b in (0, n // 4, n // 2, 3 * n // 4):
+            assert (quad[:, :, b][B] == 0).all(), f"axis bin {b}"
         blocked = jnp.zeros((64, 64), bool).at[:, 40].set(True)
         lut = lutlib.build_beam_lut(blocked, n_bins=8, max_dist=30.0)
         # Pointing away from the wall from the far side: miss at max_dist.
