@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Same-process Hybrid A* A/B on the reference benchmark query.
+
+The tunneled TPU drifts up to ~4x on dispatch-latency-bound workloads by
+the hour (RESULTS.md "HA* round 2"), so absolute planner numbers from
+different windows are incomparable. This tool interleaves all variants
+round-robin in ONE process (continuous mode doubles as the drift control)
+and reports per-variant min/mean, so the variant RATIOS are trustworthy
+regardless of the window.
+
+    python tools/hastar_ab.py            # TPU
+    python tools/hastar_ab.py --cpu      # functional check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch):
+    from slam_tpu.core.config import HybridAStarConfig
+    from slam_tpu.planners import HybridAStar
+
+    vel, steer = 10.0, 40 * math.pi / 180
+    cfg = HybridAStarConfig(
+        velocity=vel,
+        max_steering=steer,
+        length=vel * math.tan(steer) / (10 * math.pi / 180),
+        theta_res=36 if mode == "lattice" else 5,
+        branching_factor=3,
+        tol=5.0,
+        batch=batch,
+        mode=mode,
+        lattice_reps=reps,
+        heuristic_weight=hweight,
+    )
+    return HybridAStar(free, a_pose, b_pose, cfg, rc)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=5, help="timed runs/variant")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    import bench as B
+    from slam_tpu.apps.common import inflate
+    from slam_tpu.core.config import RaycastConfig
+    from slam_tpu.core.types import Pose
+
+    blocked = B.floor_plan_blocked()
+    h, _w = blocked.shape
+    free = jnp.asarray(~inflate(blocked, 7))
+    a_pose = Pose.create(450.0, float(h - 150), 0.0)
+    b_pose = Pose.create(750.0, float(h - 450), 0.0)
+    rc = RaycastConfig(backend="lut", step=1.0, lut_bins=180)
+
+    variants = {
+        "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
+        "lattice_r1_w1.0_b4096": dict(mode="lattice", reps=1, hweight=1.0, batch=4096),
+        "lattice_r3_w1.25_b8192": dict(mode="lattice", reps=3, hweight=1.25, batch=8192),
+    }
+    planners = {}
+    for name, kw in variants.items():
+        p = build_planner(free, a_pose, b_pose, rc, **kw)
+        ok = p.solve()  # warm/compile
+        print(f"# warm {name}: success={ok} cost={p.path_cost():.0f}", file=sys.stderr)
+        planners[name] = p
+
+    times = {name: [] for name in variants}
+    for k in range(args.reps):
+        for name, p in planners.items():
+            p.reset_query(a_pose, b_pose)
+            t0 = time.perf_counter()
+            ok = p.solve()
+            dt = time.perf_counter() - t0
+            assert ok, name
+            times[name].append(dt * 1e3)
+            print(f"# round {k} {name}: {dt * 1e3:.1f} ms", file=sys.stderr)
+
+    base = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")) as f:
+            base = json.load(f)["ref_hastar"]["pathfind_ms"]
+    except Exception:
+        pass
+    for name, ts in times.items():
+        rec = {
+            "metric": f"hastar_ab_{name}_ms",
+            "value": round(min(ts), 2),
+            "unit": "ms",
+            "mean_ms": round(sum(ts) / len(ts), 2),
+            "cost": round(planners[name].path_cost(), 0),
+        }
+        if base:
+            rec["vs_cpp_ms"] = base
+            rec["speedup"] = round(base / min(ts), 2)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
