@@ -24,11 +24,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch):
+def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch, cap=None):
     from slam_tpu.core.config import HybridAStarConfig
     from slam_tpu.planners import HybridAStar
 
     vel, steer = 10.0, 40 * math.pi / 180
+    kw = {}
+    if cap is not None:
+        kw["open_capacity"] = cap
     cfg = HybridAStarConfig(
         velocity=vel,
         max_steering=steer,
@@ -40,6 +43,7 @@ def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch):
         mode=mode,
         lattice_reps=reps,
         heuristic_weight=hweight,
+        **kw,
     )
     return HybridAStar(free, a_pose, b_pose, cfg, rc)
 
@@ -68,10 +72,20 @@ def main():
     b_pose = Pose.create(750.0, float(h - 450), 0.0)
     rc = RaycastConfig(backend="lut", step=1.0, lut_bins=180)
 
+    # CPU-verified honest round counts on this query (n_lost == 0):
+    # r3/w1.25/b8192 = 28 (cost 750); r4/w1.3/b16384/cap4M = 19 (745);
+    # r6/w1.3/b16384/cap4M = 14 (755). Per-round latency grows with
+    # lanes x batch, so only the on-chip A/B picks the winner.
     variants = {
         "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
         "lattice_r1_w1.0_b4096": dict(mode="lattice", reps=1, hweight=1.0, batch=4096),
         "lattice_r3_w1.25_b8192": dict(mode="lattice", reps=3, hweight=1.25, batch=8192),
+        "lattice_r4_w1.3_b16384_cap4M": dict(
+            mode="lattice", reps=4, hweight=1.3, batch=16384, cap=4_000_000
+        ),
+        "lattice_r6_w1.3_b16384_cap4M": dict(
+            mode="lattice", reps=6, hweight=1.3, batch=16384, cap=4_000_000
+        ),
     }
     planners = {}
     for name, kw in variants.items():
