@@ -22,12 +22,17 @@ class RaycastConfig:
     # Backend: "march" = exact fixed-step DDA (reference semantics oracle);
     # "sdf" = sphere tracing over a Euclidean distance transform (fast,
     # map may change every step); "lut" = precomputed directional distance
-    # table, one gather per ray (fastest, static maps only).
+    # table, one gather per ray (fastest, static maps only); "cddt" =
+    # compressed directional table, log2(K)-gather binary search per ray
+    # (static maps whose dense LUT outgrows HBM — slam_tpu.ops.cddt).
     backend: str = "march"
     # Steps marched per early-exit chunk in the "march" backend.
     chunk: int = 64
-    # Angular bins for the "lut" backend.
+    # Angular bins for the "lut"/"cddt" backends.
     lut_bins: int = 360
+    # Max obstacle runs per rotated row in the "cddt" backend (None = the
+    # build measures the true maximum with an extra counting pass).
+    cddt_k: Optional[int] = None
     # Table element type: "bf16" (default) or "u8" (fixed-point, half the
     # HBM — the dense-table answer to CDDT compression for huge maps; adds
     # +-max_dist*1.25/510 quantization error, ~1.2px at max_dist=500).

@@ -7,6 +7,9 @@
     rebuilt gather-free with JFA).
   * ``lut``  — precomputed directional distance table; ONE gather per ray,
     static maps only (localization mode).
+  * ``cddt`` — COMPRESSED directional table (obstacle-run intervals + a
+    log2(K)-gather binary search per ray); static maps whose dense LUT
+    outgrows HBM (slam_tpu.ops.cddt).
 
 `RayField` carries the map plus whichever precomputed structure the backend
 needs; `make_ray_field` builds it (host-side, once per static map) and
@@ -22,6 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from slam_tpu.core.config import RaycastConfig
+from slam_tpu.ops import cddt as cddtlib
 from slam_tpu.ops import edt as edtlib
 from slam_tpu.ops import lut as lutlib
 from slam_tpu.ops.raycast import raycast_march, raycast_sdf
@@ -40,6 +44,8 @@ class RayField:
     lut: Optional[jax.Array] = None
     # Semantic angular bin count (static: part of the jit cache key).
     lut_bins: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Compressed directional table (cddt backend).
+    cddt: Optional["cddtlib.CDDTTable"] = None
 
     @property
     def shape(self):
@@ -95,6 +101,50 @@ def make_ray_field(
                 host_lut = host_lut.view(np.uint16)
             np.save(path, host_lut)
         return RayField(blocked=blocked, lut=lut, lut_bins=rc.lut_bins)
+    if rc.backend == "cddt":
+        path = None
+        if cache_dir is not None:
+            import hashlib
+            import os
+
+            import numpy as np
+
+            host = np.asarray(blocked)
+            key = hashlib.sha1(
+                host.tobytes()
+                + f"{host.shape}|{rc.lut_bins}|{rc.cddt_k}|cddt-v1".encode()
+            ).hexdigest()[:16]
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"cddt_{key}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                table = cddtlib.CDDTTable(
+                    starts=jnp.asarray(z["starts"]),
+                    ends=jnp.asarray(z["ends"]),
+                    n_bins=rc.lut_bins,
+                    n_overflow=int(z["n_overflow"]),
+                )
+                return RayField(blocked=blocked, cddt=table)
+        table = cddtlib.build_cddt(blocked, n_bins=rc.lut_bins, k=rc.cddt_k)
+        if table.n_overflow:
+            from slam_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "cddt build dropped %d runs (cddt_k=%s too small); far "
+                "obstacles may read as misses",
+                table.n_overflow,
+                rc.cddt_k,
+            )
+        if path is not None:
+            import numpy as np
+
+            np.savez(
+                path,
+                starts=np.asarray(jax.device_get(table.starts)),
+                ends=np.asarray(jax.device_get(table.ends)),
+                n_overflow=table.n_overflow,
+            )
+        return RayField(blocked=blocked, cddt=table)
     raise ValueError(f"unknown raycast backend: {rc.backend}")
 
 
@@ -144,6 +194,13 @@ def raycast_field(field: RayField, x, y, theta, rc: RaycastConfig):
         return lutlib.raycast_lut(
             field.lut, x, y, theta, max_dist=rc.max_dist,
             n_bins=field.lut_bins,
+        )
+    if rc.backend == "cddt":
+        if field.cddt is None:
+            raise ValueError("cddt backend needs field.cddt")
+        return cddtlib.raycast_cddt(
+            field.cddt, x, y, theta, max_dist=rc.max_dist,
+            shape=field.blocked.shape,
         )
     raise ValueError(f"unknown raycast backend: {rc.backend}")
 

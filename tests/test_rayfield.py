@@ -144,6 +144,81 @@ class TestLut:
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
 
+class TestCddt:
+    """Compressed directional table vs the dense LUT (identical canvas
+    geometry -> near-exact agreement) and vs the march oracle."""
+
+    def test_matches_dense_lut(self, rng):
+        from slam_tpu.ops import cddt as cddtlib
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        table = cddtlib.build_cddt(blocked, n_bins=256)
+        assert table.n_overflow == 0
+        # Compression: room walls cross any rotated row only a few times.
+        dense_bytes = h * w * 256 * 2
+        assert table.nbytes < dense_bytes / 8
+        lut = lutlib.build_beam_lut(
+            blocked, n_bins=256, max_dist=120.0, dtype=jnp.float32
+        )
+        xs, ys, ths = _ray_batch(rng, 4096, h, w)
+        d0, h0 = lutlib.raycast_lut(lut, xs, ys, ths, max_dist=120.0)
+        d1, h1 = cddtlib.raycast_cddt(
+            table, xs, ys, ths, max_dist=120.0, shape=(h, w)
+        )
+        eq = np.asarray((d0 == d1) & (h0 == h1))
+        # Not bitwise everywhere: the dense quad build derives bins
+        # [n/4, n/2) from the [0, n/4) canvases, cddt evaluates their own
+        # f32 angles — ulp ties on grazing rays (cf. the quad/per-bin test).
+        assert eq.mean() > 0.995, f"cddt/dense mismatch {1 - eq.mean():.2e}"
+
+    def test_matches_march_within_binning_error(self, rng):
+        from slam_tpu.ops import cddt as cddtlib
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        table = cddtlib.build_cddt(blocked, n_bins=256)
+        xs, ys, ths = _ray_batch(rng, 512, h, w)
+        ths = jnp.round(ths / (2 * np.pi / 256)) * (2 * np.pi / 256)
+        d0, h0 = raycast_march(blocked, xs, ys, ths, step=0.5, max_dist=120.0)
+        d1, h1 = cddtlib.raycast_cddt(
+            table, xs, ys, ths, max_dist=120.0, shape=(h, w)
+        )
+        both = np.asarray(h0 & h1)
+        assert both.mean() > 0.8
+        err = np.abs(np.asarray(d0) - np.asarray(d1))[both]
+        assert np.median(err) < 1.5
+        assert np.quantile(err, 0.95) < 4.0
+
+    def test_explicit_k_overflow_is_counted(self):
+        from slam_tpu.ops import cddt as cddtlib
+
+        blocked = jnp.zeros((32, 32), bool).at[:, ::4].set(True)  # 8 walls
+        table = cddtlib.build_cddt(blocked, n_bins=8, k=2)
+        assert table.k == 2 and table.n_overflow > 0
+
+    def test_rayfield_dispatch_and_cache(self, rng, tmp_path):
+        from slam_tpu.ops import cddt as cddtlib
+        from slam_tpu.ops.rayfield import make_ray_field, raycast_field
+
+        h = w = 64
+        blocked = jnp.asarray(synthetic_room(h, w))
+        rc = RaycastConfig(backend="cddt", max_dist=80.0, lut_bins=96)
+        field = make_ray_field(blocked, rc, cache_dir=str(tmp_path))
+        assert field.cddt is not None
+        field2 = make_ray_field(blocked, rc, cache_dir=str(tmp_path))
+        np.testing.assert_array_equal(
+            np.asarray(field.cddt.starts), np.asarray(field2.cddt.starts)
+        )
+        xs, ys, ths = _ray_batch(rng, 128, h, w)
+        d0, h0 = raycast_field(field, xs, ys, ths, rc)
+        d1, h1 = cddtlib.raycast_cddt(
+            field.cddt, xs, ys, ths, max_dist=80.0, shape=(h, w)
+        )
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
 class TestLutFusedMeasurement:
     """The panorama-fused beam model must reproduce the general per-ray LUT
     path (same binning, same pdf) — it only restructures the gathers."""
@@ -240,7 +315,7 @@ class TestLutFusedMeasurement:
         )
 
 
-@pytest.mark.parametrize("backend", ["sdf", "lut", "lut_fused"])
+@pytest.mark.parametrize("backend", ["sdf", "lut", "lut_fused", "cddt"])
 def test_localization_ate_with_fast_backends(backend):
     from slam_tpu.core.config import beam_bin_stride
 
