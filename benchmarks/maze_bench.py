@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--particles", type=int, default=10_000)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="u8", choices=["u8", "bf16"])
+    ap.add_argument(
+        "--backend", default="lut", choices=["lut", "cddt"],
+        help="dense table (fastest) or compressed intervals (50x less HBM "
+        "on the maze: 42 MB vs 2.09 GiB, K=17)",
+    )
     ap.add_argument("--bins", type=int, default=360)
     ap.add_argument("--quality-steps", type=int, default=60)
     ap.add_argument("--map", default="/root/reference/assets/maze.png")
@@ -109,14 +114,17 @@ def main():
     rc = RaycastConfig(
         step=0.5,
         max_dist=500.0,
-        backend="lut",
+        backend=args.backend,
         lut_bins=args.bins,
         lut_dtype=args.dtype,
     )
     cfg = MCLConfig(
         n_particles=args.particles,
         meas_stddev=5.0,
-        lut_beam_stride=beam_bin_stride(lidar, rc),
+        # The panorama-fused path needs the dense bins-last table.
+        lut_beam_stride=(
+            beam_bin_stride(lidar, rc) if args.backend == "lut" else None
+        ),
     )
 
     def fence(x):
@@ -126,14 +134,23 @@ def main():
     field = rayfield.make_ray_field(
         blocked, rc, cache_dir=os.path.join(os.path.dirname(__file__), "..", ".build", "lut_cache")
     )
-    fence(field.lut)
-    build_s = time.perf_counter() - t0
-    gib = field.lut.size * field.lut.dtype.itemsize / 2**30
-    print(
-        f"# LUT [{h}x{w}x{args.bins}] {args.dtype} = {gib:.2f} GiB, "
-        f"built in {build_s:.1f}s",
-        file=sys.stderr,
-    )
+    if args.backend == "lut":
+        fence(field.lut)
+        build_s = time.perf_counter() - t0
+        gib = field.lut.size * field.lut.dtype.itemsize / 2**30
+        print(
+            f"# LUT [{h}x{w}x{args.bins}] {args.dtype} = {gib:.2f} GiB, "
+            f"built in {build_s:.1f}s",
+            file=sys.stderr,
+        )
+    else:
+        fence(field.cddt.starts)
+        build_s = time.perf_counter() - t0
+        print(
+            f"# CDDT [{args.bins // 2}x{field.cddt.d}xK={field.cddt.k}] = "
+            f"{field.cddt.nbytes / 2**20:.0f} MiB, built in {build_s:.1f}s",
+            file=sys.stderr,
+        )
 
     sx, sy = find_start(blocked_np)
     pose = Pose.create(sx, sy, 0.9)
@@ -171,10 +188,11 @@ def main():
     )
     ate = ate_rmse(res.est_xy, res.gt_xy)
 
+    tag = "" if args.backend == "lut" else f"_{args.backend}"
     for metric, value, unit in (
-        (f"maze_mcl_step_ms_{args.particles // 1000}k", step_ms, "ms"),
-        ("maze_localization_ate_px", float(ate), "px"),
-        ("maze_lut_build_s", build_s, "s"),
+        (f"maze_mcl_step_ms_{args.particles // 1000}k{tag}", step_ms, "ms"),
+        (f"maze_localization_ate_px{tag}", float(ate), "px"),
+        (f"maze_{args.backend}_build_s", build_s, "s"),
     ):
         print(
             json.dumps(
