@@ -5,8 +5,10 @@ but stores [H, W, n_bins] — ~2 GiB for the reference maze at u8 and beyond
 HBM for anything larger. This module is the COMPRESSED form from the CDDT
 paper the dense table cites (Walsh & Karaman, arXiv:1705.01167): instead of
 a distance per (cell, bin), store per (bin, canvas-row) the sorted obstacle
-RUN intervals along the ray direction, and answer a query with a fixed-trip
-binary search (ceil(log2(K)) gathers per ray instead of one).
+RUN intervals along the ray direction. Queries read the ray's whole
+interval row (one contiguous 2K-i16 gather + a vectorized masked min —
+K is small: 17 on the reference maze) or, for K > 64, fall back to a
+fixed-trip binary search (ceil(log2(K)) dependent gathers).
 
 Two structural savings vs dense:
 
@@ -204,42 +206,62 @@ def raycast_cddt(
     row = bh * d + ui  # [..., ] row into the [half*d, K] tables
     starts = table.starts.reshape(-1, k)
     ends = table.ends.reshape(-1, k)
+    v = vi.astype(jnp.int32)
 
     # Forward (+v): first run with end >= v -> dist = max(start - v, 0).
     # Backward (-v): last run with start <= v -> dist = max(v - end, 0).
-    # One fused lower-bound binary search; the search key array is `ends`
-    # forward and `starts` backward, the predicate flips for backward
-    # (strictly-greater -> upper bound, minus one).
-    v = vi.astype(jnp.int32)
-    lo = jnp.zeros_like(v)
-    hi = jnp.full_like(v, k)
+    if k <= 64:
+        # K-wide scan: ONE contiguous row gather per direction per ray
+        # (2K i16 = tens of bytes from a table ~50x smaller than dense)
+        # plus a vectorized masked min — no dependent-gather chain. Runs
+        # are disjoint and sorted, so the min over eligible runs IS the
+        # first eligible run's distance.
+        s_rows = starts[row].astype(jnp.int32)  # [..., K]
+        e_rows = ends[row].astype(jnp.int32)
+        vk = v[..., None]
+        df = jnp.where(
+            e_rows >= vk, jnp.maximum(s_rows - vk, 0), jnp.int32(_PAD)
+        )
+        db = jnp.where(
+            s_rows <= vk, jnp.maximum(vk - e_rows, 0), jnp.int32(_PAD)
+        )
+        dist = jnp.minimum(
+            jnp.where(fwd, jnp.min(df, axis=-1), jnp.min(db, axis=-1)).astype(
+                jnp.float32
+            ),
+            cap,
+        )
+    else:
+        # Large-K fallback: fixed-trip fused binary search —
+        # lower_bound(ends, v) forward, upper_bound(starts, v) backward.
+        lo = jnp.zeros_like(v)
+        hi = jnp.full_like(v, k)
 
-    def body(_, lohi):
-        lo, hi = lohi
-        live = lo < hi
-        mid = (lo + hi) // 2
-        flat = row * k + jnp.clip(mid, 0, k - 1)
-        ke = ends.reshape(-1)[flat].astype(jnp.int32)
-        ks = starts.reshape(-1)[flat].astype(jnp.int32)
-        kv = jnp.where(fwd, ke, ks)
-        # lower_bound(ends, v) forward; upper_bound(starts, v) backward.
-        go_right = jnp.where(fwd, kv < v, kv <= v)
-        lo = jnp.where(live & go_right, mid + 1, lo)
-        hi = jnp.where(live & ~go_right, mid, hi)
-        return lo, hi
+        def body(_, lohi):
+            lo, hi = lohi
+            live = lo < hi
+            mid = (lo + hi) // 2
+            flat = row * k + jnp.clip(mid, 0, k - 1)
+            ke = ends.reshape(-1)[flat].astype(jnp.int32)
+            ks = starts.reshape(-1)[flat].astype(jnp.int32)
+            kv = jnp.where(fwd, ke, ks)
+            go_right = jnp.where(fwd, kv < v, kv <= v)
+            lo = jnp.where(live & go_right, mid + 1, lo)
+            hi = jnp.where(live & ~go_right, mid, hi)
+            return lo, hi
 
-    steps = max(1, int(math.ceil(math.log2(k + 1))))
-    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        steps = max(1, int(math.ceil(math.log2(k + 1))))
+        lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
 
-    idx_f = jnp.clip(lo, 0, k - 1)
-    idx_b = jnp.clip(lo - 1, 0, k - 1)
-    s_f = starts.reshape(-1)[row * k + idx_f].astype(jnp.float32)
-    e_b = ends.reshape(-1)[row * k + idx_b].astype(jnp.float32)
-    # lo == k forward (every real run's end < v): no run ahead. PAD starts
-    # (short rows) also read as misses via the cap.
-    dist_f = jnp.where(lo >= k, cap, jnp.maximum(s_f - v, 0.0))
-    dist_b = jnp.where(lo >= 1, jnp.maximum(v - e_b, 0.0), cap)
-    dist = jnp.minimum(jnp.where(fwd, dist_f, dist_b), cap)
+        idx_f = jnp.clip(lo, 0, k - 1)
+        idx_b = jnp.clip(lo - 1, 0, k - 1)
+        s_f = starts.reshape(-1)[row * k + idx_f].astype(jnp.float32)
+        e_b = ends.reshape(-1)[row * k + idx_b].astype(jnp.float32)
+        # lo == k forward (every real run's end < v): no run ahead. PAD
+        # starts (short rows) also read as misses via the cap.
+        dist_f = jnp.where(lo >= k, cap, jnp.maximum(s_f - v, 0.0))
+        dist_b = jnp.where(lo >= 1, jnp.maximum(v - e_b, 0.0), cap)
+        dist = jnp.minimum(jnp.where(fwd, dist_f, dist_b), cap)
 
     hit = (dist < max_dist) & inb
     return jnp.where(hit, dist, max_dist), hit

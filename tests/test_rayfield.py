@@ -190,6 +190,28 @@ class TestCddt:
         assert np.median(err) < 1.5
         assert np.quantile(err, 0.95) < 4.0
 
+    def test_scan_and_search_queries_agree(self, rng):
+        """The K-wide scan (K <= 64) and the binary-search fallback must
+        answer identically; padding the same map to K > 64 switches paths
+        without changing semantics."""
+        from slam_tpu.ops import cddt as cddtlib
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        t_scan = cddtlib.build_cddt(blocked, n_bins=64)
+        assert t_scan.k <= 64
+        t_search = cddtlib.build_cddt(blocked, n_bins=64, k=80)
+        assert t_search.n_overflow == 0
+        xs, ys, ths = _ray_batch(rng, 1024, h, w)
+        d0, h0 = cddtlib.raycast_cddt(
+            t_scan, xs, ys, ths, max_dist=120.0, shape=(h, w)
+        )
+        d1, h1 = cddtlib.raycast_cddt(
+            t_search, xs, ys, ths, max_dist=120.0, shape=(h, w)
+        )
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
     def test_explicit_k_overflow_is_counted(self):
         from slam_tpu.ops import cddt as cddtlib
 
