@@ -222,10 +222,12 @@ class HybridAStarConfig:
     # round-robin, so an entry not popped within `capacity` subsequent
     # insertions is overwritten. The search counts such live-entry
     # overwrites (`LatticeState.n_lost`) and an exhaustion verdict with
-    # n_lost > 0 is reported as unsound (logged by `solve`). 1M entries =
-    # 8 MB and one per-round argmin pass over 4 MB; the effective size is
-    # clamped to ~4x the cuboid on small maps.
-    open_capacity: int = 1 << 20
+    # n_lost > 0 is reported as unsound (logged by `solve`). None = 1M
+    # entries (8 MB, one per-round argmin pass over 4 MB) clamped to ~4x
+    # the cuboid on small maps; an EXPLICIT capacity is honored verbatim
+    # (the n_lost warning tells users to raise it — that must never be a
+    # silent no-op).
+    open_capacity: Optional[int] = None
     # Lattice expansion depth: 2 adds the E^2 two-edge macro successors
     # per pop (pair feasibility precomputed as shifted-ANDs), advancing
     # the frontier two steps per round. MEASURED SLOWER on v5e (194 ->

@@ -70,32 +70,10 @@ class CDDTTable:
         return self.starts.size * 2 + self.ends.size * 2
 
 
-def _rotated_blocked(blocked: jax.Array, theta, d: int):
-    """The dense build's conservative rotated canvas (`lut.build_beam_lut`):
-    canvas (u, v) samples the 2x2-dilated map at the rotated point; +v is
-    the ray direction of `theta`."""
-    h, w = blocked.shape
-    ci, cj, cd = (h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0
-    uu = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0) - cd
-    vv = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1) - cd
-    dil = blocked | jnp.pad(blocked[1:, :], ((0, 1), (0, 0)))
-    dil = dil | jnp.pad(dil[:, 1:], ((0, 0), (0, 1)))
-    di = -jnp.sin(theta)
-    dj = jnp.cos(theta)
-    fi = ci + uu * dj + vv * di
-    fj = cj + uu * (-di) + vv * dj
-    i = jnp.floor(fi).astype(jnp.int32)
-    j = jnp.floor(fj).astype(jnp.int32)
-    inb = gridlib.in_bounds((h, w), i, j)
-    ic = jnp.clip(i, 0, h - 1)
-    jc = jnp.clip(j, 0, w - 1)
-    return dil.reshape(-1)[ic * w + jc] & inb
-
-
 def _row_intervals(rot: jax.Array, k: int):
-    """Per-row obstacle runs of a bool[d, d] canvas -> (starts, ends, max
-    runs in any row). Scatter by per-row run rank; rank >= k drops (counted
-    by the caller via the returned max)."""
+    """Per-row obstacle runs of a bool[d, d] canvas -> (starts, ends,
+    max runs in any row, total runs dropped by the k cap). Scatter by
+    per-row run rank; rank >= k drops."""
     d = rot.shape[0]
     vcol = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
     prev = jnp.pad(rot[:, :-1], ((0, 0), (1, 0)))
@@ -116,51 +94,76 @@ def _row_intervals(rot: jax.Array, k: int):
 
     starts = scatter(rs, rank_s)
     ends = scatter(re, rank_e)
-    n_runs = jnp.max(jnp.sum(rs, axis=1))
-    return starts, ends, n_runs
+    runs_per_row = jnp.sum(rs, axis=1)
+    n_max = jnp.max(runs_per_row)
+    n_dropped = jnp.sum(jnp.maximum(runs_per_row - k, 0))
+    return starts, ends, n_max, n_dropped
 
 
-_rotated_blocked_jit = jax.jit(_rotated_blocked, static_argnums=(2,))
-_row_intervals_jit = jax.jit(_row_intervals, static_argnums=(1,))
+def _bin_intervals(blocked, dil, theta, d: int, k: int):
+    # `dil` precomputed once by the caller (one dilation per build, not
+    # per bin).
+    rot = lutlib.rotated_blocked_canvas(blocked, theta, d, dil)
+    return _row_intervals(rot, k)
+
+
+_bin_intervals_jit = jax.jit(_bin_intervals, static_argnums=(3, 4))
 
 
 def build_cddt(
     blocked: jax.Array, n_bins: int = 360, k: int | None = None
 ) -> CDDTTable:
     """Host-side offline build: n_bins//2 rotated canvases -> interval
-    tables. `k` (max runs per row) defaults to the measured maximum, found
-    by a first pass; pass it explicitly to skip that pass."""
+    tables. `k` (max runs per row) defaults to adaptive: one pass with a
+    generous guess, trimmed to the measured maximum (rebuilt with the true
+    k in the rare case the guess was low)."""
     if n_bins % 2 != 0:
         raise ValueError("cddt needs an even n_bins (half-table sharing)")
     blocked = jnp.asarray(blocked, bool)
     h, w = blocked.shape
     d = int(math.ceil(math.hypot(h, w))) + 2
+    if d >= _PAD:
+        raise ValueError(
+            f"map diagonal {d} overflows the i16 interval coordinates "
+            f"(max {_PAD - 1}); cddt tables currently support maps up to "
+            "~23k px on a side"
+        )
     half = n_bins // 2
     binw = 2.0 * math.pi / n_bins
+    dil = lutlib.dilate2x2(blocked)
 
-    if k is None:
-        k = 0
-        probe = max(h, w)  # any upper bound works for counting
+    adaptive = k is None
+
+    def one_pass(k_try: int):
+        starts_np = np.empty((half, d, k_try), np.int16)
+        ends_np = np.empty((half, d, k_try), np.int16)
+        kmax = 0
+        dropped = 0
         for b in range(half):
-            rot = _rotated_blocked_jit(blocked, jnp.float32(b * binw), d)
-            _, _, n = _row_intervals_jit(rot, 1)
-            k = max(k, int(n))
-        k = max(k, 1)
+            s, e, n, nd = _bin_intervals_jit(
+                blocked, dil, jnp.float32(b * binw), d, k_try
+            )
+            kmax = max(kmax, int(n))
+            dropped += int(nd)
+            starts_np[b] = np.asarray(jax.device_get(s), np.int16)
+            ends_np[b] = np.asarray(jax.device_get(e), np.int16)
+        return starts_np, ends_np, kmax, dropped
 
-    starts_np = np.empty((half, d, k), np.int16)
-    ends_np = np.empty((half, d, k), np.int16)
-    overflow = 0
-    for b in range(half):
-        rot = _rotated_blocked_jit(blocked, jnp.float32(b * binw), d)
-        s, e, n = _row_intervals_jit(rot, k)
-        overflow += max(0, int(n) - k)
-        starts_np[b] = np.asarray(jax.device_get(s), np.int16)
-        ends_np[b] = np.asarray(jax.device_get(e), np.int16)
+    k_try = 64 if adaptive else k
+    starts_np, ends_np, kmax, dropped = one_pass(k_try)
+    if adaptive and kmax > k_try:
+        # Guess was low: one rebuild at the measured maximum.
+        starts_np, ends_np, kmax, dropped = one_pass(kmax)
+    if adaptive:
+        kfit = max(kmax, 1)
+        starts_np = starts_np[:, :, :kfit]
+        ends_np = ends_np[:, :, :kfit]
+        dropped = 0
     return CDDTTable(
-        starts=jnp.asarray(starts_np),
-        ends=jnp.asarray(ends_np),
+        starts=jnp.asarray(np.ascontiguousarray(starts_np)),
+        ends=jnp.asarray(np.ascontiguousarray(ends_np)),
         n_bins=n_bins,
-        n_overflow=overflow,
+        n_overflow=dropped,
     )
 
 
@@ -177,6 +180,12 @@ def raycast_cddt(
     k = table.k
     n_bins = table.n_bins
     half = n_bins // 2
+    if max_dist * 1.25 >= _PAD - d:
+        # PAD-as-miss relies on PAD - v > cap for every canvas coordinate.
+        raise ValueError(
+            f"max_dist {max_dist} too large for this table's i16 headroom "
+            f"(needs max_dist * 1.25 < {_PAD - d})"
+        )
     cap = jnp.float32(max_dist * 1.25)
     ci, cj, cd = (h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0
 

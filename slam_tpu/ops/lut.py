@@ -46,6 +46,45 @@ import jax.numpy as jnp
 from slam_tpu.core import grid as gridlib
 
 
+def dilate2x2(blocked: jax.Array) -> jax.Array:
+    """Conservative sampling support: "any of the 4 cells around a float
+    point is blocked" becomes a nearest-floor sample of this one-pass 2x2
+    dilation — ONE gather per rotated cell instead of four (the builds are
+    gather-bound; this is 4x)."""
+    dil = blocked | jnp.pad(blocked[1:, :], ((0, 1), (0, 0)))
+    return dil | jnp.pad(dil[:, 1:], ((0, 0), (0, 1)))
+
+
+def rotated_blocked_canvas(
+    blocked: jax.Array, theta, d: int, dil: jax.Array | None = None
+) -> jax.Array:
+    """Conservative rotated canvas shared by the dense and compressed
+    (`slam_tpu.ops.cddt`) directional builds: canvas cell (u, v) samples
+    the 2x2-dilated map at the rotated point, with +v the ray direction of
+    `theta`. Both builds MUST use this one definition — the cddt-equals-
+    dense invariant (tested) rides on it. Pass a precomputed `dilate2x2`
+    result when calling per-bin inside a loop (XLA does not reliably hoist
+    the dilation out of lax.map bodies)."""
+    from slam_tpu.core import grid as gridlib
+
+    h, w = blocked.shape
+    ci, cj, cd = (h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0
+    uu = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0) - cd
+    vv = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1) - cd
+    if dil is None:
+        dil = dilate2x2(blocked)
+    di = -jnp.sin(theta)
+    dj = jnp.cos(theta)
+    fi = ci + uu * dj + vv * di
+    fj = cj + uu * (-di) + vv * dj
+    i = jnp.floor(fi).astype(jnp.int32)
+    j = jnp.floor(fj).astype(jnp.int32)
+    inb = gridlib.in_bounds((h, w), i, j)
+    ic = jnp.clip(i, 0, h - 1)
+    jc = jnp.clip(j, 0, w - 1)
+    return dil.reshape(-1)[ic * w + jc] & inb
+
+
 def build_beam_lut(
     blocked: jax.Array,
     n_bins: int = 360,
@@ -69,38 +108,20 @@ def build_beam_lut(
     cj = (w - 1) / 2.0
     cd = (d - 1) / 2.0
 
-    uu = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0) - cd
-    vv = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1) - cd
     ucol = jax.lax.broadcasted_iota(jnp.float32, (d, d), 0)
     vcol = jax.lax.broadcasted_iota(jnp.float32, (d, d), 1)
 
     ii_img = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - ci
     jj_img = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cj
 
-    # Conservative sampling = "any of the 4 cells around (fi, fj) is
-    # blocked" = nearest-sample of a one-pass 2x2 dilation: ONE gather per
-    # rotated cell instead of four (the build is gather-bound; this is 4x).
-    dil = blocked | jnp.pad(blocked[1:, :], ((0, 1), (0, 0)))
-    dil = dil | jnp.pad(dil[:, 1:], ((0, 0), (0, 1)))
-    dil_flat = dil.reshape(-1)
-
-    def sample_blocked(fi, fj):
-        i = jnp.floor(fi).astype(jnp.int32)
-        j = jnp.floor(fj).astype(jnp.int32)
-        inb = gridlib.in_bounds((h, w), i, j)
-        ic = jnp.clip(i, 0, h - 1)
-        jc = jnp.clip(j, 0, w - 1)
-        return dil_flat[ic * w + jc] & inb
+    dil = dilate2x2(blocked)
 
     def canvas_and_back_idx(theta):
-        # Ray direction in image coords (world y-up -> image row-down).
+        # Ray direction in image coords (world y-up -> image row-down);
+        # rotated-frame axes: +v == ray direction, +u its perpendicular.
         di = -jnp.sin(theta)
         dj = jnp.cos(theta)
-        # Rotated-frame axes: +v == ray direction, +u == its perpendicular.
-        # img(u, v) = c + u * (dj, -di) + v * (di, dj)
-        fi = ci + uu * dj + vv * di
-        fj = cj + uu * (-di) + vv * dj
-        rot_blocked = sample_blocked(fi, fj)
+        rot_blocked = rotated_blocked_canvas(blocked, theta, d, dil)
         # Back-sample at original cell centers: rotated coords of (i, j).
         u_q = ii_img * dj + jj_img * (-di) + cd
         v_q = ii_img * di + jj_img * dj + cd

@@ -78,7 +78,9 @@ def make_ray_field(
             host = np.asarray(blocked)
             key = hashlib.sha1(
                 host.tobytes()
-                + f"{host.shape}|{rc.lut_bins}|{rc.max_dist}|{rc.lut_dtype}|v1".encode()
+                # v2: the quad build changed derived-axis-bin values
+                # (blocked-origin fix) — v1 tables must not be reused.
+                + f"{host.shape}|{rc.lut_bins}|{rc.max_dist}|{rc.lut_dtype}|v2".encode()
             ).hexdigest()[:16]
             os.makedirs(cache_dir, exist_ok=True)
             path = os.path.join(cache_dir, f"beam_lut_{key}.npy")
@@ -103,6 +105,7 @@ def make_ray_field(
         return RayField(blocked=blocked, lut=lut, lut_bins=rc.lut_bins)
     if rc.backend == "cddt":
         path = None
+        table = None
         if cache_dir is not None:
             import hashlib
             import os
@@ -124,18 +127,20 @@ def make_ray_field(
                     n_bins=rc.lut_bins,
                     n_overflow=int(z["n_overflow"]),
                 )
-                return RayField(blocked=blocked, cddt=table)
-        table = cddtlib.build_cddt(blocked, n_bins=rc.lut_bins, k=rc.cddt_k)
+        fresh = table is None
+        if fresh:
+            table = cddtlib.build_cddt(blocked, n_bins=rc.lut_bins, k=rc.cddt_k)
         if table.n_overflow:
+            # Warn on cache hits too — a truncated table is wrong every run.
             from slam_tpu.utils.logging import get_logger
 
             get_logger().warning(
-                "cddt build dropped %d runs (cddt_k=%s too small); far "
+                "cddt table dropped %d runs (cddt_k=%s too small); far "
                 "obstacles may read as misses",
                 table.n_overflow,
                 rc.cddt_k,
             )
-        if path is not None:
+        if fresh and path is not None:
             import numpy as np
 
             np.savez(

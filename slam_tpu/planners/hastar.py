@@ -60,6 +60,10 @@ class HAState:
     goal_idx: jax.Array  # i32 cuboid index of the first in-tolerance pop (-1)
     goal_cost: jax.Array  # f32
     n_expanded: jax.Array  # i32
+    # i32: the seeded start cuboid index — recover_path's chain terminator.
+    # Carried from the DEVICE query init so host arithmetic can never
+    # disagree with the index that actually seeded the search.
+    start_idx: jax.Array
 
 
 def _pose_to_cuboid(shape, k, x, y, theta):
@@ -230,6 +234,7 @@ def _ha_round(
         goal_idx=goal_idx,
         goal_cost=goal_cost,
         n_expanded=st.n_expanded + jnp.sum(pop_valid),
+        start_idx=st.start_idx,
     )
 
 
@@ -493,6 +498,8 @@ class LatticeState:
     # MAY have lost nodes — a subsequent "open list empty" exhaustion is
     # then not a proof of unreachability (solve logs a warning).
     n_lost: jax.Array
+    # i32: the seeded start cuboid index (see HAState.start_idx).
+    start_idx: jax.Array
 
 
 def _lattice_round(
@@ -676,6 +683,7 @@ def _lattice_query_init(free, a_xyt, b_xyt, cfg, shape, cap):
         goal_cost=jnp.float32(INF),
         n_expanded=jnp.int32(0),
         n_lost=jnp.int32(0),
+        start_idx=start_idx.astype(jnp.int32),
     )
     return goal, target_bin, hfield, state
 
@@ -768,6 +776,7 @@ def _ha_query_init(free, a_xyt, b_xyt, cfg, shape):
         goal_idx=jnp.int32(-1),
         goal_cost=jnp.float32(INF),
         n_expanded=jnp.int32(0),
+        start_idx=start_idx.astype(jnp.int32),
     )
     return goal, target_bin, hfield, state
 
@@ -912,22 +921,16 @@ class HybridAStar:
     # -- driver -----------------------------------------------------------
 
     def _ring_capacity(self) -> int:
-        # The DEFAULT capacity is clamped to ~4x the cuboid (more slots
-        # than that rarely hold distinct useful entries on small maps,
-        # and the per-round argmin scans the ring); an EXPLICIT user
-        # capacity is honored as-is — the n_lost overflow warning tells
-        # users to raise it, which must not be a silent no-op.
-        import dataclasses as _dc
-
-        default_cap = next(
-            f.default
-            for f in _dc.fields(HybridAStarConfig)
-            if f.name == "open_capacity"
-        )
+        # The DEFAULT capacity (open_capacity=None -> 1M) is clamped to
+        # ~4x the cuboid (more slots than that rarely hold distinct useful
+        # entries on small maps, and the per-round argmin scans the ring);
+        # an EXPLICIT user capacity is honored as-is — the n_lost overflow
+        # warning tells users to raise it, which must not be a silent
+        # no-op.
         cap = self.cfg.open_capacity
-        if cap == default_cap:
+        if cap is None:
             s = self.shape[0] * self.shape[1] * self.cfg.theta_res
-            cap = min(cap, 4 * s)
+            cap = min(1 << 20, 4 * s)
         cap = max(cap, self.cfg.batch)
         return -(-cap // self.cfg.batch) * self.cfg.batch
 
@@ -978,18 +981,20 @@ class HybridAStar:
         )
         if not bool(open_any):
             self.used_up = True
-            self._warn_if_overflowed()
+            self._warn_if_overflowed(open_known_empty=True)
             return True
         return False
 
-    def _warn_if_overflowed(self):
+    def _warn_if_overflowed(self, open_known_empty: bool = False):
         """Exhaustion with ring-overwritten entries is not a proof of
         unreachability — surface it (lattice mode only). A run that
         merely hit max_rounds (open list non-empty) is not an exhaustion
-        verdict and does not warrant the warning."""
+        verdict and does not warrant the warning. `open_known_empty`
+        skips the emptiness re-fetch when the caller just computed it
+        (each eager op is a host round trip on the tunneled TPU)."""
         if self.cfg.mode != "lattice" or self.success:
             return
-        if bool(jnp.any(self.state.o_f < INF)):
+        if not open_known_empty and bool(jnp.any(self.state.o_f < INF)):
             return
         lost = int(self.state.n_lost)
         if lost > 0:
@@ -1066,7 +1071,7 @@ class HybridAStar:
         if self.cfg.mode != "lattice":
             raise ValueError("solve_many requires mode='lattice'")
         max_rounds = max_rounds or self.cfg.max_rounds
-        states, goals, tbins, hfields, starts = [], [], [], [], []
+        states, goals, tbins, hfields = [], [], [], []
         for a, b in queries:
             self.reset_query(a, b)
             self._ensure_query_state()
@@ -1074,7 +1079,6 @@ class HybridAStar:
             goals.append(self._goal)
             tbins.append(self._target_bin)
             hfields.append(self._hfield)
-            starts.append(self._host_cuboid_index(a))
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         out = _lattice_solve_many_jit(
             stacked,
@@ -1097,21 +1101,7 @@ class HybridAStar:
         for q in range(len(queries)):
             results.append((int(goal_idx[q]) >= 0, float(goal_cost[q])))
         self._fleet_state = out
-        self._fleet_starts = starts
         return results
-
-    def _host_cuboid_index(self, p: Pose) -> int:
-        """`_pose_to_cuboid` in host arithmetic (no device dispatch — on a
-        tunneled TPU every eager op is a round trip)."""
-        h, w = self.shape
-        k = self.cfg.theta_res
-        f32 = np.float32
-        x, y, th = f32(float(p.x)), f32(float(p.y)), f32(float(p.theta))
-        i = int(np.clip(np.floor(f32(h) - y - f32(1.0)), 0, h - 1))
-        j = int(np.clip(np.floor(x), 0, w - 1))
-        ang = np.mod(th + f32(2 * np.pi), f32(2 * np.pi))
-        kk = int(np.clip(np.int32(ang / f32(2 * np.pi / k)), 0, k - 1))
-        return (i * w + j) * k + kk
 
     def recover_path_for(self, q: int) -> List[Tuple[int, int]]:
         """Parent-chain walk (image coords) for query q of the last
@@ -1127,7 +1117,7 @@ class HybridAStar:
         if idx < 0:
             return []
         return self._walk_lattice_chain(
-            np.asarray(out.gp[q]), idx, self._fleet_starts[q]
+            np.asarray(out.gp[q]), idx, int(out.start_idx[q])
         )
 
     def _walk_lattice_chain(self, gp, idx, start_idx):
@@ -1158,7 +1148,10 @@ class HybridAStar:
         w = self.shape[1]
         path = []
         idx = int(self.state.goal_idx)
-        start_idx = self._host_cuboid_index(self.a)
+        # The index that actually seeded the search, carried from the
+        # device query init (host f32 replays can disagree by 1 ulp at
+        # bin/cell boundaries).
+        start_idx = int(self.state.start_idx)
         seen = 0
         if self.cfg.mode == "lattice":
             return self._walk_lattice_chain(

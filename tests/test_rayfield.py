@@ -109,6 +109,8 @@ class TestLut:
         B = np.asarray(blocked)
         for b in (0, n // 4, n // 2, 3 * n // 4):
             assert (quad[:, :, b][B] == 0).all(), f"axis bin {b}"
+
+    def test_blocked_origin_and_miss(self):
         blocked = jnp.zeros((64, 64), bool).at[:, 40].set(True)
         lut = lutlib.build_beam_lut(blocked, n_bins=8, max_dist=30.0)
         # Pointing away from the wall from the far side: miss at max_dist.
