@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Per-phase timing of the full SLAM step (unknown map, mapping every step)
+at large N — the "1M-particle grid SLAM" headline's attribution evidence,
+the SLAM-mode companion of tools/roofline.py.
+
+Phases of `slam_tpu.models.slam.step` with measurement='likelihood_field'
+(the dynamic-map fast path): motion predict; JFA EDT rebuild (gather-free,
+radius-capped); LF weights (one EDT gather per beam endpoint: N x B x 4 B);
+systematic resample; log-odds map update from the best pose.
+
+Usage:  nohup setsid python -u tools/slam_roofline.py --particles 1000000 \
+            > /tmp/slam_roofline.log 2>&1 &
+        (one TPU client at a time; see CLAUDE.md)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+PEAK_HBM_GBPS = 819.0  # v5e
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=1_000_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import floor_plan_blocked
+    from slam_tpu.core import grid as gridlib
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod, slam as slam_mod
+    from slam_tpu.ops import edt as edtlib, mapping, measurement, resample, rayfield
+
+    blocked = jnp.asarray(floor_plan_blocked())
+    h, w = blocked.shape
+    lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
+    rc = RaycastConfig(step=0.5, max_dist=500.0, backend="sdf")
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=args.particles,
+            meas_stddev=5.0,
+            measurement="likelihood_field",
+        ),
+        lidar=lidar,
+        motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+        raycast=rc,
+    )
+
+    pose = Pose.create(400.0, 400.0, np.pi)
+    scan = fake_lidar.scan(blocked, pose, lidar, RaycastConfig(max_dist=500.0))
+    odom = Odometry.create(2.5, 0.02, 0.02)
+    edt_cap = 5.0 * cfg.mcl.meas_stddev + 2.0
+
+    state = slam_mod.init(jax.random.key(0), cfg, pose)
+    full = jax.jit(lambda st: slam_mod.step(st, odom, scan, cfg))
+    state = full(state)  # realistic spread + learned grid
+
+    blocked_now = gridlib.blocked_from_logodds(state.grid)
+    edt_now = edtlib.edt_jfa(blocked_now, max_dist=edt_cap)
+    field = rayfield.RayField(blocked=blocked_now, edt=edt_now)
+
+    @jax.jit
+    def phase_predict(st):
+        return mcl_mod.predict(st.mcl, odom, cfg.motion.alphas)
+
+    @jax.jit
+    def phase_edt(grid):
+        return edtlib.edt_jfa(
+            gridlib.blocked_from_logodds(grid), max_dist=edt_cap
+        )
+
+    @jax.jit
+    def phase_weights(st, field, scan):
+        return measurement.particle_log_weights_likelihood_field(
+            field,
+            st.mcl.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.mcl.scanner_offset,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+        )
+
+    @jax.jit
+    def phase_resample(key, st):
+        return resample.resample(key, st.mcl.particles, cfg.mcl.resample)
+
+    @jax.jit
+    def phase_map(st, scan):
+        return mapping.scan_logodds_update(
+            st.grid,
+            st.mcl.best_pose,
+            scan,
+            scanner_offset=cfg.mcl.scanner_offset,
+            step=rc.step,
+            max_dist=rc.max_dist,
+            l_occ=cfg.map.l_occ,
+            l_free=cfg.map.l_free,
+            l_min=cfg.map.l_min,
+            l_max=cfg.map.l_max,
+        )
+
+    def fence(x):
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+    def timeit(fn, *a):
+        for _ in range(args.warmup):
+            out = fn(*a)
+        fence(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        fence(out)
+        return (time.perf_counter() - t0) / args.iters
+
+    key = jax.random.key(1)
+    t_pred = timeit(phase_predict, state)
+    t_edt = timeit(phase_edt, state.grid)
+    t_meas = timeit(phase_weights, state, field, scan)
+    t_rs = timeit(phase_resample, key, state)
+    t_map = timeit(phase_map, state, scan)
+    t_full = timeit(full, state)
+
+    n, b = args.particles, lidar.n_rays
+    meas_bytes = n * b * 4 + n * 4  # EDT endpoint gathers + weight writes
+    gbps = meas_bytes / t_meas / 1e9
+    sol_ms = meas_bytes / (PEAK_HBM_GBPS * 1e9) * 1e3
+
+    dev = jax.devices()[0].device_kind
+    print(f"# device: {dev}; N={n}, B={b}, map {h}x{w}, edt cap {edt_cap}",
+          file=sys.stderr)
+    for name, t in (
+        ("predict", t_pred), ("edt rebuild", t_edt), ("lf weights", t_meas),
+        ("resample", t_rs), ("map update", t_map), ("full step", t_full),
+    ):
+        print(f"# {name:12s} {t * 1e3:8.2f} ms", file=sys.stderr)
+    print(f"# lf weights: {meas_bytes / 1e6:.0f} MB of endpoint gathers -> "
+          f"{gbps:.0f} GB/s achieved ({100 * gbps / PEAK_HBM_GBPS:.0f}% of "
+          f"peak; speed-of-light {sol_ms:.2f} ms)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"slam_step_ms_{n // 1000}k",
+        "value": round(t_full * 1e3, 2),
+        "unit": "ms",
+        "detail": {
+            "predict_ms": round(t_pred * 1e3, 3),
+            "edt_rebuild_ms": round(t_edt * 1e3, 3),
+            "lf_weights_ms": round(t_meas * 1e3, 3),
+            "resample_ms": round(t_rs * 1e3, 3),
+            "map_update_ms": round(t_map * 1e3, 3),
+            "lf_gbps": round(gbps, 1),
+            "speed_of_light_ms": round(sol_ms, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
