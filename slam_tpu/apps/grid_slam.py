@@ -84,7 +84,9 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["slam", "loc"], default="slam")
     ap.add_argument("--backend", default="sdf", choices=["march", "sdf", "lut"])
     ap.add_argument(
-        "--measurement", default="beam", choices=["beam", "likelihood_field"]
+        "--measurement",
+        default="beam",
+        choices=["beam", "likelihood_field", "likelihood_field_table"],
     )
     ap.add_argument("--n-rays", type=int, default=60)
     ap.add_argument("--max-dist", type=float, default=200.0)

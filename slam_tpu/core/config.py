@@ -137,6 +137,15 @@ class MCLConfig:
     # Likelihood-field mixture weights: z_hit * N(0, sigma) + z_rand/z_max.
     lf_z_hit: float = 0.95
     lf_z_rand: float = 0.05
+    # "likelihood_field_table" (the large-N tracking/SLAM fast path): score
+    # via a windowed correlative table (Olson 2009) — a per-step dense build
+    # over lf_table_bins heading bins spanning the cloud's circular spread,
+    # then TWO gathers per particle instead of one per beam. Build cost is
+    # N-independent; accuracy notes in
+    # `ops.measurement.particle_log_weights_lf_table`.
+    lf_table_bins: int = 32
+    lf_table_spread: float = 4.0
+    lf_table_min_halfwidth: float = 0.02
     # "systematic" (low-variance, the upgrade SURVEY section 5 quirk 2 names)
     # or "multinomial" (reference fidelity, `slam/mcl.cpp:157-203`).
     resample: str = "systematic"

@@ -115,7 +115,7 @@ def update(
             )
         field = None
         lw = measurement_fn(state.particles.pose, scan)
-    elif cfg.measurement == "likelihood_field":
+    elif cfg.measurement in ("likelihood_field", "likelihood_field_table"):
         if not isinstance(field, rayfield.RayField):
             # Per-step rebuild (SLAM mode): the LF pdf only resolves ~5
             # sigma of distance (beyond that the z_rand floor dominates),
@@ -132,21 +132,37 @@ def update(
             )
         if field.edt is None:
             raise ValueError(
-                "measurement='likelihood_field' needs a distance transform: "
+                f"measurement={cfg.measurement!r} needs a distance transform: "
                 "use RaycastConfig(backend='sdf') or build the RayField with "
                 f"an EDT (got backend={rc.backend!r})"
             )
-        lw = measurement.particle_log_weights_likelihood_field(
-            field,
-            state.particles.pose,
-            scan,
-            rc=rc,
-            scanner_offset=cfg.scanner_offset,
-            stddev=cfg.meas_stddev,
-            z_hit=cfg.lf_z_hit,
-            z_rand=cfg.lf_z_rand,
-            ray_sharding=ray_sharding,
-        )
+        if cfg.measurement == "likelihood_field_table":
+            lw = measurement.particle_log_weights_lf_table(
+                field,
+                state.particles.pose,
+                scan,
+                rc=rc,
+                scanner_offset=cfg.scanner_offset,
+                stddev=cfg.meas_stddev,
+                z_hit=cfg.lf_z_hit,
+                z_rand=cfg.lf_z_rand,
+                table_bins=cfg.lf_table_bins,
+                spread_mult=cfg.lf_table_spread,
+                min_halfwidth=cfg.lf_table_min_halfwidth,
+                ray_sharding=ray_sharding,
+            )
+        else:
+            lw = measurement.particle_log_weights_likelihood_field(
+                field,
+                state.particles.pose,
+                scan,
+                rc=rc,
+                scanner_offset=cfg.scanner_offset,
+                stddev=cfg.meas_stddev,
+                z_hit=cfg.lf_z_hit,
+                z_rand=cfg.lf_z_rand,
+                ray_sharding=ray_sharding,
+            )
     else:
         field = rayfield.as_ray_field(field, rc)
         lw = measurement.particle_log_weights(

@@ -187,6 +187,144 @@ def particle_log_weights_likelihood_field(
     return jnp.sum(lw, axis=-1)
 
 
+def lf_score_table(edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand):
+    """Correlative likelihood-field score table over explicit heading bins.
+
+    For each heading-bin center ``headings[t]`` build the dense map
+    ``S[t, i, j] = sum_b L(endpoint of beam b fired from cell (i, j) at
+    heading t)`` where ``L`` is the per-cell log mixture score
+    ``log(z_hit * N(edt; sigma) + z_rand / z_max)`` of
+    `particle_log_weights_likelihood_field`. Correlative scan matching
+    (Olson, ICRA 2009) turned into a TPU build: each (bin, beam) term is one
+    ``dynamic_slice`` window of the padded L field — B dense map-shaped adds
+    per bin instead of per-particle scattered gathers. Max-range beams carry
+    no endpoint information and are excluded (the direct model's skip at
+    `slam/raycast.cpp:234-237` analog); out-of-map endpoints read the padded
+    ``log(z_rand / z_max)`` floor, exactly the direct model's out-of-bounds
+    value.
+
+    Offsets use the snapped-sensor arithmetic ``floor(0.5 + dx)`` /
+    ``floor(0.5 - dy)``: for a sensor exactly at a cell center and a heading
+    exactly on a bin center the table entry equals the direct model's score
+    bit-for-bit (`world_to_cell` is floor, `core/grid.py:26-32`); for
+    arbitrary poses the endpoint cell is off by at most one cell.
+
+    Returns f32[T, H, W]. Memory/traffic scale with T * H * W — the build is
+    particle-count-independent, which is the whole point (see
+    `particle_log_weights_lf_table`).
+    """
+    from slam_tpu.core.stats import pdf_normal
+
+    h, w = edt.shape
+    pad = int(math.ceil(rc.max_dist)) + 1
+    floor_val = float(math.log(max(z_rand / rc.max_dist, 1e-30)))
+    L = jnp.log(
+        jnp.maximum(z_hit * pdf_normal(stddev, edt) + z_rand / rc.max_dist, 1e-30)
+    ).astype(jnp.float32)
+    lpad = jnp.pad(L, pad, constant_values=floor_val)
+
+    valid = (scan.dists < rc.max_dist).astype(jnp.float32)  # [B]
+    ang = headings[:, None] + scan.angles[None, :]  # [T, B]
+    dx = scan.dists[None, :] * jnp.cos(ang)
+    dy = scan.dists[None, :] * jnp.sin(ang)
+    # Cell offsets (i grows downward = -y, `core/grid.py:26-32`).
+    oi = jnp.floor(0.5 - dy).astype(jnp.int32) + pad
+    oj = jnp.floor(0.5 + dx).astype(jnp.int32) + pad
+
+    def one_bin(ofs):
+        oi_t, oj_t = ofs
+        win = jax.vmap(
+            lambda a, b: jax.lax.dynamic_slice(lpad, (a, b), (h, w))
+        )(oi_t, oj_t)  # [B, h, w]
+        return jnp.einsum("bij,b->ij", win, valid)
+
+    return jax.lax.map(one_bin, (oi, oj))  # [T, h, w]
+
+
+def particle_log_weights_lf_table(
+    field,
+    poses: Pose,
+    scan: Scan,
+    *,
+    rc: RaycastConfig = RaycastConfig(),
+    scanner_offset=(0.0, 0.0, 0.0),
+    stddev: float = 5.0,
+    z_hit: float = 0.95,
+    z_rand: float = 0.05,
+    table_bins: int = 32,
+    spread_mult: float = 4.0,
+    min_halfwidth: float = 0.02,
+    ray_sharding=None,
+):
+    """Likelihood-field weights via a windowed correlative score table.
+
+    The direct likelihood field issues N x B scattered scalar EDT gathers —
+    the dominant cost of the large-N SLAM step (90M gathers at 1M particles
+    x 90 beams; RESULTS.md roofline: scattered scalar gathers are
+    latency-bound). This path builds `lf_score_table` over ``table_bins``
+    heading bins spanning the particle cloud's ACTUAL circular heading
+    spread (mean +- spread_mult * circular std, clamped to
+    [min_halfwidth, pi]), then scores each particle with TWO scalar gathers
+    (linear interpolation between adjacent heading bins) at its sensor cell.
+    Build cost is particle-count-independent; per-particle cost drops B-fold.
+
+    Accuracy: endpoint positions are quantized by the sensor-cell rounding
+    (<= 1 px, the same order as the dense LUT's accepted +-1.2 px) plus the
+    heading bin width times beam range. In tracking mode the window follows
+    the converged cloud (circular std ~1 deg -> bin width ~0.1 deg -> sub-px
+    endpoint error at max range). With a dispersed cloud (global
+    localization) the window widens to 2*pi and bins coarsen — use the
+    direct model or the beam LUT there; this path is the large-N tracking /
+    SLAM fast path. Particles outside the window clamp to the edge bins.
+
+    `ray_sharding` is accepted for API parity and unused: there is no [N, B]
+    intermediate — the table is map-shaped (replicated under the sharded
+    engines) and all per-particle arrays are [N] (carry the particle
+    sharding).
+    """
+    del ray_sharding
+    from slam_tpu.core import grid as gridlib
+
+    field = as_ray_field(field, rc)
+    if field.edt is None:
+        raise ValueError(
+            "likelihood_field_table needs field.edt (use the 'sdf' backend)"
+        )
+    t = int(table_bins)
+    if t < 2:
+        raise ValueError(f"table_bins must be >= 2, got {t}")
+    h, w = field.edt.shape
+    sp = sensor_pose(poses, scanner_offset)
+
+    # Heading window from the cloud's circular statistics.
+    c = jnp.mean(jnp.cos(sp.theta))
+    s = jnp.mean(jnp.sin(sp.theta))
+    mu = jnp.arctan2(s, c)
+    rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
+    cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+    halfwidth = jnp.clip(spread_mult * cstd + min_halfwidth, min_halfwidth, jnp.pi)
+    binw = 2.0 * halfwidth / (t - 1)
+    headings = mu + (jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0) * binw
+
+    table = lf_score_table(
+        field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit, z_rand=z_rand
+    )
+
+    # Two-gather lookup: sensor cell, lerp between adjacent heading bins.
+    i, j = gridlib.world_to_cell((h, w), sp.x, sp.y)
+    ic, jc = gridlib.clamp_cell((h, w), i, j)
+    d = jnp.arctan2(jnp.sin(sp.theta - mu), jnp.cos(sp.theta - mu))
+    u = jnp.clip(d / binw + (t - 1) / 2.0, 0.0, float(t - 1))
+    t0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, t - 2)
+    frac = u - t0.astype(u.dtype)
+    flat = table.reshape(-1)
+    base = ic * w + jc
+    hw = h * w
+    s0 = flat[t0 * hw + base]
+    s1 = flat[(t0 + 1) * hw + base]
+    return (1.0 - frac) * s0 + frac * s1
+
+
 def particle_log_weights_lut_fused(
     field,
     poses: Pose,

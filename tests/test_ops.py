@@ -327,3 +327,93 @@ class TestProbabilisticBeamModel:
                 th = float(poses.theta[n]) + float(scan.angles[b])
                 want = oracle(x, y, th, float(scan.dists[b]))
                 assert got[n, b] == pytest.approx(want, rel=1e-4, abs=1e-8), (n, b)
+
+
+class TestLFTable:
+    """Correlative likelihood-field table (`measurement.lf_score_table` /
+    `particle_log_weights_lf_table`) vs the direct per-beam model."""
+
+    def _fixture(self):
+        from slam_tpu.models.simulate import synthetic_room
+        from slam_tpu.ops import edt as edtlib
+        from slam_tpu.ops.rayfield import RayField
+
+        h = w = 96
+        blocked = jnp.asarray(synthetic_room(h, w))
+        rc = RaycastConfig(step=1.0, max_dist=50.0, backend="sdf")
+        field = RayField(blocked=blocked, edt=edtlib.edt_jfa(blocked))
+        b = 24
+        angles = (
+            jnp.linspace(0.0, 2.0 * np.pi, b, endpoint=False) + 0.0123
+        ).astype(jnp.float32)
+        dists = jnp.asarray(
+            np.random.RandomState(0).uniform(3, 49, b), jnp.float32
+        )
+        # One max-range beam: must be excluded by both paths.
+        dists = dists.at[3].set(rc.max_dist)
+        return field, rc, Scan(angles=angles, dists=dists)
+
+    def test_snapped_poses_match_direct_model_exactly(self):
+        """Sensor at a cell center + heading on a bin center -> the table
+        entry IS the direct model's score (same floor arithmetic)."""
+        field, rc, scan = self._fixture()
+        h, w = field.edt.shape
+        rs = np.random.RandomState(1)
+        n = 40
+        i0 = rs.randint(5, h - 5, n)
+        j0 = rs.randint(5, w - 5, n)
+        th = rs.uniform(-np.pi, np.pi, n).astype(np.float32)
+        poses = Pose(
+            x=jnp.asarray(j0 + 0.5, jnp.float32),
+            y=jnp.asarray(h - 1 - i0 - 0.5, jnp.float32),
+            theta=jnp.asarray(th),
+        )
+        direct = measurement.particle_log_weights_likelihood_field(
+            field, poses, scan, rc=rc, stddev=4.0
+        )
+        table = measurement.lf_score_table(
+            field.edt, scan, jnp.asarray(th), rc=rc,
+            stddev=4.0, z_hit=0.95, z_rand=0.05,
+        )
+        got = table[jnp.arange(n), jnp.asarray(i0), jnp.asarray(j0)]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(direct), rtol=0, atol=1e-3
+        )
+
+    def test_full_path_tracks_direct_model(self):
+        """Arbitrary (converged-cloud) poses: windowed table weights agree
+        with the direct model up to the documented <=1-cell endpoint
+        quantization (high rank correlation, bounded mean deviation)."""
+        field, rc, scan = self._fixture()
+        h, w = field.edt.shape
+        rs = np.random.RandomState(2)
+        n = 500
+        poses = Pose(
+            x=jnp.asarray(rs.uniform(5, w - 5, n), jnp.float32),
+            y=jnp.asarray(rs.uniform(5, h - 5, n), jnp.float32),
+            theta=jnp.asarray(0.3 + 0.02 * rs.randn(n), jnp.float32),
+        )
+        lw_t = measurement.particle_log_weights_lf_table(
+            field, poses, scan, rc=rc, stddev=4.0
+        )
+        lw_d = measurement.particle_log_weights_likelihood_field(
+            field, poses, scan, rc=rc, stddev=4.0
+        )
+        d = np.asarray(lw_t) - np.asarray(lw_d)
+        assert np.abs(d).mean() < 1.5, f"mean |dlw| {np.abs(d).mean()}"
+        corr = np.corrcoef(np.asarray(lw_t), np.asarray(lw_d))[0, 1]
+        assert corr > 0.97, f"corr {corr}"
+
+    def test_rejects_missing_edt_and_bad_bins(self):
+        from slam_tpu.ops.rayfield import RayField
+
+        field, rc, scan = self._fixture()
+        poses = Pose.create(10.0, 10.0, 0.0)
+        with pytest.raises(ValueError, match="edt"):
+            measurement.particle_log_weights_lf_table(
+                RayField(blocked=field.blocked), poses, scan, rc=rc
+            )
+        with pytest.raises(ValueError, match="table_bins"):
+            measurement.particle_log_weights_lf_table(
+                field, poses, scan, rc=rc, table_bins=1
+            )
