@@ -51,12 +51,20 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed-block repeats; value = median (drift control)")
     ap.add_argument("--backend", default="lut", choices=["march", "sdf", "lut"])
     ap.add_argument(
         "--measurement", default="beam", choices=["beam", "likelihood_field"]
     )
+    ap.add_argument("--cpu", action="store_true",
+                    help="functional check off-chip (never a perf claim)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -110,18 +118,70 @@ def main():
         # force a tiny host fetch through the dependency chain.
         np.asarray(jax.device_get(state.particles.log_weight[:1]))
 
+    # Per-phase probes (drift attribution: VERDICT r2 weak #1 — a single-shot
+    # number can't distinguish a regression from tunnel drift).
+    from slam_tpu.ops import measurement, resample as resample_mod
+
+    @jax.jit
+    def phase_predict(state):
+        return mcl_mod.predict(state, odom, alphas)
+
+    @jax.jit
+    def phase_weights(state, field, scan):
+        return measurement.particle_log_weights(
+            field,
+            state.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.scanner_offset,
+            stddev=cfg.meas_stddev,
+            eps=cfg.meas_epsilon,
+            lut_beam_stride=cfg.lut_beam_stride,
+        )
+
+    @jax.jit
+    def phase_resample(key, particles):
+        return resample_mod.resample(key, particles, cfg.resample)
+
+    def fence_any(x):
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
     state = mcl_mod.init(jax.random.key(0), args.particles, pose)
     for _ in range(args.warmup):
         state = step(state, field, scan)
     fence(state)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state = step(state, field, scan)
-    fence(state)
-    secs = time.perf_counter() - t0
+    # Repeat the timed block; report the MEDIAN (the tunnel drifts by the
+    # hour — min/max spread makes a regression distinguishable from drift).
+    block_secs = []
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state = step(state, field, scan)
+        fence(state)
+        block_secs.append(time.perf_counter() - t0)
+    med = float(np.median(block_secs))
+    ms_per_step = [1e3 * s / args.iters for s in block_secs]
 
-    value = args.particles * args.iters / secs
+    def time_phase(fn, *a):
+        out = fn(*a)
+        fence_any(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        fence_any(out)
+        return 1e3 * (time.perf_counter() - t0) / args.iters
+
+    phases = {
+        "predict_ms": round(time_phase(phase_predict, state), 3),
+        "measurement_ms": round(time_phase(phase_weights, state, field, scan), 3),
+        "resample_ms": round(
+            time_phase(phase_resample, jax.random.key(1), state.particles), 3
+        ),
+    }
+
+    value = args.particles * args.iters / med
 
     baseline = 833.0
     try:
@@ -137,13 +197,22 @@ def main():
                 "value": round(value, 1),
                 "unit": "particle-updates/s",
                 "vs_baseline": round(value / baseline, 2),
+                "ms_per_step": {
+                    "median": round(float(np.median(ms_per_step)), 2),
+                    "min": round(min(ms_per_step), 2),
+                    "max": round(max(ms_per_step), 2),
+                    "repeats": len(ms_per_step),
+                },
+                "phases": phases,
             }
         )
     )
     print(
-        f"# {args.particles} particles x {args.iters} iters in {secs:.2f}s "
-        f"({1e3 * secs / args.iters:.1f} ms/step) on {jax.devices()[0].device_kind}; "
-        f"map {h}x{w}, 90 beams",
+        f"# {args.particles} particles x {args.iters} iters x "
+        f"{len(block_secs)} repeats; median {1e3 * med / args.iters:.1f} "
+        f"ms/step (min {min(ms_per_step):.1f}, max {max(ms_per_step):.1f}) on "
+        f"{jax.devices()[0].device_kind}; map {h}x{w}, 90 beams; phases "
+        f"{phases}",
         file=sys.stderr,
     )
 

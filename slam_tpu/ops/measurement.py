@@ -205,9 +205,11 @@ def lf_score_table(edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand):
 
     Offsets use the snapped-sensor arithmetic ``floor(0.5 + dx)`` /
     ``floor(0.5 - dy)``: for a sensor exactly at a cell center and a heading
-    exactly on a bin center the table entry equals the direct model's score
-    bit-for-bit (`world_to_cell` is floor, `core/grid.py:26-32`); for
-    arbitrary poses the endpoint cell is off by at most one cell.
+    exactly on a bin center the table entry selects exactly the direct
+    model's endpoint cells (`world_to_cell` is floor, `core/grid.py:26-32`),
+    so the score matches up to float summation-order rounding (the beam
+    reduction here is an einsum, the direct path a jnp.sum); for arbitrary
+    poses the endpoint cell is off by at most one cell.
 
     Returns f32[T, H, W]. Memory/traffic scale with T * H * W — the build is
     particle-count-independent, which is the whole point (see
@@ -231,14 +233,34 @@ def lf_score_table(edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand):
     oi = jnp.floor(0.5 - dy).astype(jnp.int32) + pad
     oj = jnp.floor(0.5 + dx).astype(jnp.int32) + pad
 
-    def one_bin(ofs):
-        oi_t, oj_t = ofs
-        win = jax.vmap(
-            lambda a, b: jax.lax.dynamic_slice(lpad, (a, b), (h, w))
-        )(oi_t, oj_t)  # [B, h, w]
-        return jnp.einsum("bij,b->ij", win, valid)
+    # Beams accumulate in chunks so peak memory per bin is O(chunk * H * W)
+    # instead of O(B * H * W) — a 90-beam x 2048^2 f32 window stack would be
+    # ~1.5 GB if XLA declined to fuse the slice into the reduction. Padded
+    # chunk entries carry valid=0 and contribute nothing.
+    chunk = 8
+    b = oi.shape[1]
+    bpad = (-b) % chunk
+    n_chunks = (b + bpad) // chunk
+    oi_c = jnp.pad(oi, ((0, 0), (0, bpad))).reshape(-1, n_chunks, chunk)
+    oj_c = jnp.pad(oj, ((0, 0), (0, bpad))).reshape(-1, n_chunks, chunk)
+    valid_c = jnp.pad(valid, (0, bpad)).reshape(n_chunks, chunk)
 
-    return jax.lax.map(one_bin, (oi, oj))  # [T, h, w]
+    def one_bin(ofs):
+        oi_t, oj_t = ofs  # [n_chunks, chunk]
+
+        def body(acc, xs):
+            a, bcol, v = xs
+            win = jax.vmap(
+                lambda p, q: jax.lax.dynamic_slice(lpad, (p, q), (h, w))
+            )(a, bcol)  # [chunk, h, w]
+            return acc + jnp.einsum("bij,b->ij", win, v), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((h, w), jnp.float32), (oi_t, oj_t, valid_c)
+        )
+        return acc
+
+    return jax.lax.map(one_bin, (oi_c, oj_c))  # [T, h, w]
 
 
 def particle_log_weights_lf_table(
@@ -275,7 +297,19 @@ def particle_log_weights_lf_table(
     endpoint error at max range). With a dispersed cloud (global
     localization) the window widens to 2*pi and bins coarsen — use the
     direct model or the beam LUT there; this path is the large-N tracking /
-    SLAM fast path. Particles outside the window clamp to the edge bins.
+    SLAM fast path. Particles heading outside the window (more than half a
+    bin beyond the edge bins) score the z_rand floor
+    ``n_valid_beams * log(z_rand / z_max)`` — the lowest score the mixture
+    model can emit — rather than clamping to a (possibly high) edge-bin
+    score, so far-outlier headings cannot inherit inflated weights.
+
+    Interaction with adaptive injection (`MCLConfig.adaptive`): injected
+    random particles carry uniform headings, which inflate the UNWEIGHTED
+    circular std used here and coarsen the bins for everyone. That is the
+    conservative failure mode (wider window, lower resolution), and the
+    injected particles themselves land in the floor/edge region by design;
+    if injection is routinely active, prefer the direct likelihood-field
+    model for that phase.
 
     `ray_sharding` is accepted for API parity and unused: there is no [N, B]
     intermediate — the table is map-shaped (replicated under the sharded
@@ -311,18 +345,24 @@ def particle_log_weights_lf_table(
     )
 
     # Two-gather lookup: sensor cell, lerp between adjacent heading bins.
+    # The table is indexed 3-D (multi-dim gather) — a flat t*H*W + i*w + j
+    # index would overflow int32 at table_bins * H * W >= 2^31 (32 bins on a
+    # ~8192^2 map), exactly the big-map regime this path targets.
     i, j = gridlib.world_to_cell((h, w), sp.x, sp.y)
     ic, jc = gridlib.clamp_cell((h, w), i, j)
     d = jnp.arctan2(jnp.sin(sp.theta - mu), jnp.cos(sp.theta - mu))
     u = jnp.clip(d / binw + (t - 1) / 2.0, 0.0, float(t - 1))
     t0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, t - 2)
     frac = u - t0.astype(u.dtype)
-    flat = table.reshape(-1)
-    base = ic * w + jc
-    hw = h * w
-    s0 = flat[t0 * hw + base]
-    s1 = flat[(t0 + 1) * hw + base]
-    return (1.0 - frac) * s0 + frac * s1
+    s0 = table[t0, ic, jc]
+    s1 = table[t0 + 1, ic, jc]
+    score = (1.0 - frac) * s0 + frac * s1
+    # Out-of-window headings (beyond half a bin past the edge): z_rand floor
+    # instead of the edge-bin score (see docstring).
+    n_valid = jnp.sum(scan.dists < rc.max_dist).astype(jnp.float32)
+    floor_lw = n_valid * float(math.log(max(z_rand / rc.max_dist, 1e-30)))
+    out = jnp.abs(d) > halfwidth + 0.5 * binw
+    return jnp.where(out, floor_lw, score)
 
 
 def particle_log_weights_lut_fused(
