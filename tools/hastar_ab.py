@@ -52,6 +52,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=5, help="timed runs/variant")
+    ap.add_argument("--sweep", choices=["verdict", "work"], default="verdict")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -76,17 +77,33 @@ def main():
     # r3/w1.25/b8192 = 28 (cost 750); r4/w1.3/b16384/cap4M = 19 (745);
     # r6/w1.3/b16384/cap4M = 14 (755). Per-round latency grows with
     # lanes x batch, so only the on-chip A/B picks the winner.
-    variants = {
-        "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
-        "lattice_r1_w1.0_b4096": dict(mode="lattice", reps=1, hweight=1.0, batch=4096),
-        "lattice_r3_w1.25_b8192": dict(mode="lattice", reps=3, hweight=1.25, batch=8192),
-        "lattice_r4_w1.3_b16384_cap4M": dict(
-            mode="lattice", reps=4, hweight=1.3, batch=16384, cap=4_000_000
-        ),
-        "lattice_r6_w1.3_b16384_cap4M": dict(
-            mode="lattice", reps=6, hweight=1.3, batch=16384, cap=4_000_000
-        ),
-    }
+    if args.sweep == "verdict":
+        variants = {
+            "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
+            "lattice_r1_w1.0_b4096": dict(mode="lattice", reps=1, hweight=1.0, batch=4096),
+            "lattice_r3_w1.25_b8192": dict(mode="lattice", reps=3, hweight=1.25, batch=8192),
+            "lattice_r4_w1.3_b16384_cap4M": dict(
+                mode="lattice", reps=4, hweight=1.3, batch=16384, cap=4_000_000
+            ),
+            "lattice_r6_w1.3_b16384_cap4M": dict(
+                mode="lattice", reps=6, hweight=1.3, batch=16384, cap=4_000_000
+            ),
+        }
+    else:
+        # The verdict sweep's on-chip result: time tracks rounds x batch x
+        # lanes (per-pop work, ~0.5 us/pop-lane), NOT rounds — macro lanes
+        # and fat batches lose. This sweep minimizes TOTAL POP SLOTS:
+        # reps=1 (no lanes), weighted A* to cut expansions, batch sized to
+        # the actual frontier.
+        variants = {
+            "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
+            "lattice_r1_w1.0_b4096": dict(mode="lattice", reps=1, hweight=1.0, batch=4096),
+            "lattice_r1_w1.1_b4096": dict(mode="lattice", reps=1, hweight=1.1, batch=4096),
+            "lattice_r1_w1.2_b4096": dict(mode="lattice", reps=1, hweight=1.2, batch=4096),
+            "lattice_r1_w1.3_b4096": dict(mode="lattice", reps=1, hweight=1.3, batch=4096),
+            "lattice_r1_w1.3_b2048": dict(mode="lattice", reps=1, hweight=1.3, batch=2048),
+            "lattice_r1_w1.2_b2048": dict(mode="lattice", reps=1, hweight=1.2, batch=2048),
+        }
     planners = {}
     for name, kw in variants.items():
         p = build_planner(free, a_pose, b_pose, rc, **kw)

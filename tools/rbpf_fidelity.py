@@ -27,6 +27,8 @@ ap.add_argument("--particles", type=int, default=1000)
 ap.add_argument("--steps", type=int, default=120)
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--map", default="/root/reference/assets/floor_plan.png")
+ap.add_argument("--json", action="store_true",
+                help="emit one machine-readable JSON line (for pytest -m fidelity)")
 args = ap.parse_args()
 
 import jax
@@ -90,3 +92,13 @@ print(
     f"({args.particles / per_step:,.0f} particle-updates/s), "
     f"total {time.perf_counter() - t0_all:.0f}s"
 )
+if args.json:
+    import json
+
+    print(json.dumps({
+        "ate_px": round(float(ate), 3),
+        "ms_per_step": round(per_step * 1e3, 1),
+        "particles": args.particles,
+        "steps": args.steps,
+        "device": jax.devices()[0].device_kind,
+    }))
