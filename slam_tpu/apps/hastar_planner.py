@@ -39,6 +39,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--backend", default="sdf", choices=["march", "sdf"])
     ap.add_argument("--out", default="hastar.png")
+    ap.add_argument("--animate", default=None, metavar="GIF",
+                    help="write expansion animation via the incremental API "
+                    "(the reference draws expansions on the canvas threaded "
+                    "through pathfind, `slam/hastar.cpp:168-204`)")
+    ap.add_argument("--animate-every", type=int, default=4,
+                    help="rounds per animation frame")
     ap.add_argument(
         "--interactive", action="store_true",
         help="read 'X1 Y1 X2 Y2' queries from stdin and replan on the warm "
@@ -73,9 +79,39 @@ def main(argv=None):
     b = Pose.create(goal[0], goal[1], 0.0)
     planner = HybridAStar(free, a, b, cfg, RaycastConfig(backend=args.backend, step=1.0))
 
+    def _reached_cells():
+        """bool[H, W] cells touched by the search (any heading bin)."""
+        from slam_tpu.planners.hastar import INF, _INF_PACKED
+
+        k = cfg.theta_res
+        if cfg.mode == "lattice":
+            touched = np.asarray(planner.state.gp) != _INF_PACKED
+        else:
+            touched = np.asarray(planner.state.g) < INF
+        return touched.reshape(h * w, k).any(axis=1).reshape(h, w)
+
     def run_and_render(a, b, out):
-        with measure_time("hybrid A* pathfind"):
-            ok = planner.solve()
+        if args.animate:
+            frames = []
+            with measure_time("hybrid A* pathfind (animated)"):
+                rounds, done = 0, False
+                while not done:
+                    done = planner.pathfind()
+                    rounds += 1
+                    if done or rounds % max(1, args.animate_every) == 0:
+                        fr = render.blocked_to_rgb(blocked)
+                        reach = _reached_cells()
+                        fr[reach] = (
+                            fr[reach] * 0.4 + np.array(render.BLUE) * 0.6
+                        ).astype(np.uint8)
+                        frames.append(fr)
+            ok = planner.success
+            if frames:
+                render.save_gif(frames, args.animate, fps=5)
+                print(f"animation -> {args.animate}")
+        else:
+            with measure_time("hybrid A* pathfind"):
+                ok = planner.solve()
         img = render.blocked_to_rgb(blocked)
         if ok:
             path = planner.recover_path()

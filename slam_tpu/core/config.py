@@ -258,6 +258,13 @@ class HybridAStarConfig:
     # weight * h. 1.0 = admissible (default); > 1.0 greedily cuts
     # expansions and rounds at a path cost penalty bounded by the factor.
     heuristic_weight: float = 1.0
+    # Skip the pre-scatter st.gp[tgt] improvement readback in the lattice
+    # round (the post-scatter winner check covers inserts). None = auto:
+    # skip only under weighted A* with no macro lanes, where equal-packed
+    # re-insert duplicates are measure-zero (CPU-verified identical
+    # rounds/cost); at w == 1.0 or with lanes the duplicates explode
+    # (116 -> 222 rounds at w1.0; 29 -> 119 at reps=3). True/False force.
+    lattice_skip_precheck: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -571,11 +571,14 @@ def _lattice_round(
 
     tgt = jnp.clip(pop[:, None] + off, 0, s - 1)
     candq = gq[:, None] + cost_q[kk]  # i32 [batch, L]
-    if (
-        cfg.heuristic_weight > 1.0
-        and cfg.lattice_reps == 1
-        and cfg.lattice_depth == 1
-    ):
+    skip_precheck = cfg.lattice_skip_precheck
+    if skip_precheck is None:
+        skip_precheck = (
+            cfg.heuristic_weight > 1.0
+            and cfg.lattice_reps == 1
+            and cfg.lattice_depth == 1
+        )
+    if skip_precheck:
         # Weighted A*: skip the pre-scatter improvement check — the
         # scatter-min is a no-op for non-improving candidates anyway, and
         # dropping the st.gp[tgt] readback removes one of the ~6 scattered

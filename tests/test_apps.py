@@ -64,6 +64,35 @@ def test_rrt_app(tmp_path):
     assert ok
 
 
+def test_planner_progress_animations(tmp_path):
+    """Per-round search-progress GIFs — the headless form of the reference's
+    live planner animation (A* frontier `slam/astar.cpp:73-79`, HA*
+    expansions `slam/hastar.cpp:168-204`, RRT* tree growth
+    `slam/rrtstar.cpp:107-144`)."""
+    ok = astar_planner.main(
+        ["--out", str(tmp_path / "a.png"), "--animate", str(tmp_path / "a.gif")]
+    )
+    assert ok and (tmp_path / "a.gif").exists()
+    ok = hastar_planner.main(
+        [
+            "--out", str(tmp_path / "h.png"), "--velocity", "5",
+            "--batch", "64", "--inflate", "2",
+            "--start", "40", "64", "--goal", "200", "64",
+            "--animate", str(tmp_path / "h.gif"), "--animate-every", "8",
+        ]
+    )
+    assert ok and (tmp_path / "h.gif").exists()
+    ok = rrt_planner.main(
+        [
+            "--out", str(tmp_path / "r.png"), "--n-points", "100",
+            "--reach", "8", "--radius", "16", "--max-nodes", "1024",
+            "--batch", "64", "--inflate", "2",
+            "--animate", str(tmp_path / "r.gif"),
+        ]
+    )
+    assert ok and (tmp_path / "r.gif").exists()
+
+
 def test_nn_and_regions_apps(tmp_path):
     nearest_neighbor.main(
         ["--n", "200", "--queries", "3", "--check", "--out", str(tmp_path / "n.png")]

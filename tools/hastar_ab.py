@@ -24,7 +24,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch, cap=None):
+def build_planner(
+    free, a_pose, b_pose, rc, *, mode, reps, hweight, batch, cap=None, skip=None
+):
     from slam_tpu.core.config import HybridAStarConfig
     from slam_tpu.planners import HybridAStar
 
@@ -32,6 +34,8 @@ def build_planner(free, a_pose, b_pose, rc, *, mode, reps, hweight, batch, cap=N
     kw = {}
     if cap is not None:
         kw["open_capacity"] = cap
+    if skip is not None:
+        kw["lattice_skip_precheck"] = skip
     cfg = HybridAStarConfig(
         velocity=vel,
         max_steering=steer,
@@ -52,7 +56,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=5, help="timed runs/variant")
-    ap.add_argument("--sweep", choices=["verdict", "work"], default="verdict")
+    ap.add_argument(
+        "--sweep", choices=["verdict", "work", "precheck"], default="verdict"
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -87,6 +93,28 @@ def main():
             ),
             "lattice_r6_w1.3_b16384_cap4M": dict(
                 mode="lattice", reps=6, hweight=1.3, batch=16384, cap=4_000_000
+            ),
+        }
+    elif args.sweep == "precheck":
+        # Same-process A/B of the pre-scatter readback skip (the
+        # cross-window comparison was ambiguous: 144 vs 155 ms with equal
+        # drift controls), plus the batch-size frontier at w=1.3.
+        variants = {
+            "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
+            "lat_w1.3_b2048_skipT": dict(
+                mode="lattice", reps=1, hweight=1.3, batch=2048, skip=True
+            ),
+            "lat_w1.3_b2048_skipF": dict(
+                mode="lattice", reps=1, hweight=1.3, batch=2048, skip=False
+            ),
+            "lat_w1.3_b1024_skipT": dict(
+                mode="lattice", reps=1, hweight=1.3, batch=1024, skip=True
+            ),
+            "lat_w1.3_b1024_skipF": dict(
+                mode="lattice", reps=1, hweight=1.3, batch=1024, skip=False
+            ),
+            "lat_w1.3_b3072_skipT": dict(
+                mode="lattice", reps=1, hweight=1.3, batch=3072, skip=True
             ),
         }
     else:
