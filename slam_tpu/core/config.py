@@ -258,13 +258,14 @@ class HybridAStarConfig:
     # weight * h. 1.0 = admissible (default); > 1.0 greedily cuts
     # expansions and rounds at a path cost penalty bounded by the factor.
     heuristic_weight: float = 1.0
-    # Skip the pre-scatter st.gp[tgt] improvement readback in the lattice
-    # round (the post-scatter winner check covers inserts). None = auto:
-    # skip only under weighted A* with no macro lanes, where equal-packed
-    # re-insert duplicates are measure-zero (CPU-verified identical
-    # rounds/cost); at w == 1.0 or with lanes the duplicates explode
-    # (116 -> 222 rounds at w1.0; 29 -> 119 at reps=3). True/False force.
-    lattice_skip_precheck: Optional[bool] = None
+    # EXPERIMENT (measured SLOWER on-chip; keep False): skip the
+    # pre-scatter st.gp[tgt] improvement readback in the lattice round and
+    # rely on the post-scatter winner check alone. The same-process A/B
+    # measured the skip a consistent small loss (XLA fuses the readback
+    # into the scatter-min) and it admits equal-packed re-insert
+    # duplicates — catastrophic at w == 1.0 or with macro lanes, a path
+    # cost penalty at small batches. See planners/hastar.py.
+    lattice_skip_precheck: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -571,33 +571,20 @@ def _lattice_round(
 
     tgt = jnp.clip(pop[:, None] + off, 0, s - 1)
     candq = gq[:, None] + cost_q[kk]  # i32 [batch, L]
-    skip_precheck = cfg.lattice_skip_precheck
-    if skip_precheck is None:
-        skip_precheck = (
-            cfg.heuristic_weight > 1.0
-            and cfg.lattice_reps == 1
-            and cfg.lattice_depth == 1
-        )
-    if skip_precheck:
-        # Weighted A*: skip the pre-scatter improvement check — the
-        # scatter-min is a no-op for non-improving candidates anyway, and
-        # dropping the st.gp[tgt] readback removes one of the ~6 scattered
-        # [batch, L] ops that dominate the on-chip round
-        # (tools/hastar_probe.py: ~0.9 us/pop, all batch-scaled work). The
-        # post-scatter winner check below replaces it; the one new
-        # duplicate class (a candidate EXACTLY EQUAL to the stored packed
-        # value re-inserts) is measure-zero under the weighted heuristic's
-        # diverse f values — CPU-verified identical rounds/cost at
-        # w in {1.3, 1.4} on the benchmark query.
+    if cfg.lattice_skip_precheck:
+        # EXPERIMENT KNOB, measured a small LOSS — default stays False.
+        # Hypothesis was that dropping the st.gp[tgt] readback (one of ~6
+        # scattered [batch, L] ops; tools/hastar_probe.py shows the round
+        # is ~all batch-scaled work at ~0.9 us/pop) would cut round time;
+        # the same-process on-chip A/B (tools/hastar_ab.py --sweep
+        # precheck) measured skip SLOWER (161 vs 154 ms at b2048, 103 vs
+        # 97 at b1024) — XLA fuses the gather into the scatter-min — and
+        # the equal-packed re-insert duplicates it admits degrade path
+        # cost at small batches (745 -> 755 at b1024) and explode at
+        # w == 1.0 (116 -> 222 rounds) or with macro lanes (29 -> 119,
+        # equal-g re-derivations by construction).
         imp = ok
     else:
-        # w == 1.0: the admissible heuristic's quantized-equal f ties make
-        # equal-packed re-inserts COMMON — without the strict pre-check the
-        # benchmark query degrades 116 -> 222 rounds and overflows the ring
-        # (349k -> 786k inserts, 207k lost). Macro lanes (lattice_reps > 1 /
-        # lattice_depth 2) produce equal-g re-derivations BY CONSTRUCTION
-        # (every lane prefix is also a lane), so they keep the check at any
-        # w (skipping degrades reps=3/w=1.25: 29 -> 119 rounds, 8.2M lost).
         imp = ok & (candq < (st.gp[tgt] >> _EDGE_BITS))
     packed = jnp.where(
         imp, (candq << _EDGE_BITS) | edge_t[None, :], _INF_PACKED

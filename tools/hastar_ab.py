@@ -57,7 +57,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=5, help="timed runs/variant")
     ap.add_argument(
-        "--sweep", choices=["verdict", "work", "precheck"], default="verdict"
+        "--sweep",
+        choices=["verdict", "work", "precheck", "batch"],
+        default="verdict",
     )
     args = ap.parse_args()
     if args.cpu:
@@ -94,6 +96,18 @@ def main():
             "lattice_r6_w1.3_b16384_cap4M": dict(
                 mode="lattice", reps=6, hweight=1.3, batch=16384, cap=4_000_000
             ),
+        }
+    elif args.sweep == "batch":
+        # The precheck sweep found b1024 at 97 ms (1.55x the C++) — find
+        # the batch floor (smaller batches = less per-round work but more
+        # rounds; the ~33 ms/query tunnel RTT is constant).
+        variants = {
+            "continuous_b512": dict(mode="continuous", reps=1, hweight=1.0, batch=512),
+            "lat_w1.3_b512": dict(mode="lattice", reps=1, hweight=1.3, batch=512),
+            "lat_w1.3_b384": dict(mode="lattice", reps=1, hweight=1.3, batch=384),
+            "lat_w1.3_b256": dict(mode="lattice", reps=1, hweight=1.3, batch=256),
+            "lat_w1.35_b512": dict(mode="lattice", reps=1, hweight=1.35, batch=512),
+            "lat_w1.3_b128": dict(mode="lattice", reps=1, hweight=1.3, batch=128),
         }
     elif args.sweep == "precheck":
         # Same-process A/B of the pre-scatter readback skip (the

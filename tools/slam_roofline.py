@@ -144,6 +144,37 @@ def main():
     t_map = timeit(phase_map, state, scan)
     t_full = timeit(full, state)
 
+    # The correlative-table variant (measurement='likelihood_field_table'):
+    # the per-beam endpoint gathers (N x B) become a particle-count-
+    # independent table build + TWO gathers per particle — the designed
+    # fix for exactly this large-N wall.
+    import dataclasses as _dc
+
+    cfg_t = _dc.replace(
+        cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field_table")
+    )
+    full_t = jax.jit(lambda st: slam_mod.step(st, odom, scan, cfg_t))
+    state_t = full_t(state)  # compile + one step under the table model
+
+    @jax.jit
+    def phase_weights_table(st, field, scan):
+        return measurement.particle_log_weights_lf_table(
+            field,
+            st.mcl.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.mcl.scanner_offset,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+            table_bins=cfg.mcl.lf_table_bins,
+            spread_mult=cfg.mcl.lf_table_spread,
+            min_halfwidth=cfg.mcl.lf_table_min_halfwidth,
+        )
+
+    t_meas_t = timeit(phase_weights_table, state_t, field, scan)
+    t_full_t = timeit(full_t, state_t)
+
     n, b = args.particles, lidar.n_rays
     meas_bytes = n * b * 4 + n * 4  # EDT endpoint gathers + weight writes
     gbps = meas_bytes / t_meas / 1e9
@@ -155,8 +186,9 @@ def main():
     for name, t in (
         ("predict", t_pred), ("edt rebuild", t_edt), ("lf weights", t_meas),
         ("resample", t_rs), ("map update", t_map), ("full step", t_full),
+        ("lf-table weights", t_meas_t), ("full step (table)", t_full_t),
     ):
-        print(f"# {name:12s} {t * 1e3:8.2f} ms", file=sys.stderr)
+        print(f"# {name:18s} {t * 1e3:8.2f} ms", file=sys.stderr)
     print(f"# lf weights: {meas_bytes / 1e6:.0f} MB of endpoint gathers -> "
           f"{gbps:.0f} GB/s achieved ({100 * gbps / PEAK_HBM_GBPS:.0f}% of "
           f"peak; speed-of-light {sol_ms:.2f} ms)", file=sys.stderr)
@@ -172,6 +204,8 @@ def main():
             "map_update_ms": round(t_map * 1e3, 3),
             "lf_gbps": round(gbps, 1),
             "speed_of_light_ms": round(sol_ms, 3),
+            "lf_table_weights_ms": round(t_meas_t * 1e3, 3),
+            "full_step_table_ms": round(t_full_t * 1e3, 3),
         },
     }))
 
