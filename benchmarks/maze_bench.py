@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--map", default="/root/reference/assets/maze.png")
     ap.add_argument("--size", type=int, default=2400,
                     help="synthetic-maze side when --map is missing")
+    ap.add_argument("--pitch", type=int, default=40,
+                    help="synthetic-maze wall spacing (px)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the procedural maze even if --map exists — "
+                    "with --size 7000 --pitch 400 --backend cddt this is the "
+                    "beyond-HBM tier demo: the dense u8 table would be "
+                    "size^2 * bins bytes (17.6 GB at 7000^2 x 360 > the v5e's "
+                    "16 GB HBM) while the compressed intervals fit easily")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -89,22 +97,24 @@ def main():
     from slam_tpu.ops import rayfield
     from slam_tpu.utils.metrics import ate_rmse
 
-    if os.path.exists(args.map):
+    if os.path.exists(args.map) and not args.synthetic:
         from slam_tpu.utils.maps import load_binary_map
 
         blocked_np = load_binary_map(args.map) == 0
     else:  # synthetic stand-in maze
         h = w = args.size
+        p = args.pitch
+        lo, hi = p // 5, p - p // 5  # door span within each wall segment
         rng = np.random.default_rng(0)
         blocked_np = np.zeros((h, w), bool)
-        blocked_np[::40, :] = True
-        blocked_np[:, ::40] = True
-        for i in range(0, h, 40):  # knock doors
-            for j in range(0, w, 40):
+        blocked_np[::p, :] = True
+        blocked_np[:, ::p] = True
+        for i in range(0, h, p):  # knock doors
+            for j in range(0, w, p):
                 if rng.random() < 0.7:
-                    blocked_np[i, j + 8 : j + 32] = False
+                    blocked_np[i, j + lo : j + hi] = False
                 if rng.random() < 0.7:
-                    blocked_np[i + 8 : i + 32, j] = False
+                    blocked_np[i + lo : i + hi, j] = False
         blocked_np[[0, -1], :] = True
         blocked_np[:, [0, -1]] = True
     h, w = blocked_np.shape
@@ -189,10 +199,13 @@ def main():
     ate = ate_rmse(res.est_xy, res.gt_xy)
 
     tag = "" if args.backend == "lut" else f"_{args.backend}"
+    name = "maze"
+    if args.synthetic or not os.path.exists(args.map):
+        name = f"synthmaze{args.size}"
     for metric, value, unit in (
-        (f"maze_mcl_step_ms_{args.particles // 1000}k{tag}", step_ms, "ms"),
-        (f"maze_localization_ate_px{tag}", float(ate), "px"),
-        (f"maze_{args.backend}_build_s", build_s, "s"),
+        (f"{name}_mcl_step_ms_{args.particles // 1000}k{tag}", step_ms, "ms"),
+        (f"{name}_localization_ate_px{tag}", float(ate), "px"),
+        (f"{name}_{args.backend}_build_s", build_s, "s"),
     ):
         print(
             json.dumps(

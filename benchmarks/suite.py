@@ -89,29 +89,22 @@ def bench_hastar(args):
         ),
         branching_factor=3,
         tol=5.0,
-        # Lattice rounds are latency-, not compute-, bound, so a much
-        # larger pop batch cuts round count nearly for free.
-        batch=(
-            args.hastar_batch
-            if args.hastar_mode == "continuous"
-            else max(args.hastar_batch, 8192)
-        ),
+        # Round 3's on-chip decomposition (tools/hastar_probe.py) showed
+        # lattice rounds are WORK-bound (~0.9 us/pop, batch-scaled), not
+        # latency-bound — the round-2b fat-batch/macro-lane configs lose
+        # on chip. The same-process sweeps (hastar_ab --sweep work/batch)
+        # land on reps=1 + w=1.3 + batch 512: 74.6 ms vs the C++ 151 ms
+        # (2.0x) at cost 745 with an honest ring, measured in a window
+        # whose drift control read 640 ms (vs its best 129).
+        batch=args.hastar_batch,
         mode=args.hastar_mode,
-        # Macro lanes pay off only when the inflated heuristic makes pops
-        # scarce (RESULTS.md "round 2b"): reps=3 + w=1.25 + batch 8192 is
-        # the measured 29-round / cost-750 / no-ring-overflow config on
-        # THESE endpoints (116 rounds / cost 745 for reps=1 w=1.0); reps
-        # alone is WORSE than single edges. Continuous mode is
-        # depth-bound and keeps the admissible heuristic.
         lattice_reps=(
-            args.hastar_reps
-            if args.hastar_reps is not None
-            else (3 if args.hastar_mode == "lattice" else 1)
+            args.hastar_reps if args.hastar_reps is not None else 1
         ),
         heuristic_weight=(
             args.hastar_hweight
             if args.hastar_hweight is not None
-            else (1.25 if args.hastar_mode == "lattice" else 1.0)
+            else (1.3 if args.hastar_mode == "lattice" else 1.0)
         ),
     )
     # Edge feasibility via the directional LUT: one gather per edge. The
@@ -291,7 +284,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hastar-batch", type=int, default=512)
     ap.add_argument(
-        "--hastar-mode", default="continuous", choices=["continuous", "lattice"]
+        "--hastar-mode", default="lattice", choices=["continuous", "lattice"],
+        help="lattice is the drift-robust on-chip winner (round 3 A/B: "
+        "74.6 ms vs C++ 151; continuous swings 129-700 ms with the tunnel)",
     )
     ap.add_argument("--hastar-tres", type=int, default=None)
     ap.add_argument("--hastar-reps", type=int, default=None)
