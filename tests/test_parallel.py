@@ -90,6 +90,47 @@ def test_sharded_slam_step_runs_and_stays_sharded():
     assert shard_shape[0] == N // 4  # 4-way 'p' axis
 
 
+def test_sharded_slam_lf_table_matches_single_device():
+    """The correlative-table measurement (the 1M-step fast path, 11x over
+    the direct likelihood field at 1M — RESULTS.md round 3) under the
+    sharded engine: the heading-window circular stats reduce over the
+    SHARDED particle axis (GSPMD psum) and must match the single-device
+    numerics; the table itself is map-shaped and replicated."""
+    blocked, pose, scan, _ = _scene()
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=N,
+            measurement="likelihood_field_table",
+            ess_threshold=0.0,  # no resample: exact comparison
+        ),
+        map=MapConfig(height=H, width=W),
+        lidar=LidarConfig(n_rays=16, max_dist=100.0),
+        raycast=RaycastConfig(max_dist=100.0, chunk=32, backend="sdf"),
+    )
+    odom = Odometry.create(0.05, 2.0, 0.05)
+
+    st0 = slam_mod.init(jax.random.key(0), cfg, pose)
+    st0 = slam_mod.step(st0, odom, scan, cfg)
+
+    mesh = make_mesh(8, beam_axis=2)
+    engine = ShardedGridSLAM(mesh, cfg)
+    st1 = engine.init(pose)
+    st1 = engine.step(st1, odom, scan)
+    jax.block_until_ready(st1)
+
+    np.testing.assert_allclose(
+        np.asarray(st0.mcl.particles.log_weight),
+        np.asarray(st1.mcl.particles.log_weight),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st0.grid), np.asarray(st1.grid), rtol=1e-4, atol=1e-5
+    )
+    shard_shape = st1.mcl.particles.pose.x.sharding.shard_shape((N,))
+    assert shard_shape[0] == N // 4
+
+
 def test_distributed_helpers_single_process():
     from slam_tpu.parallel import distributed
 
