@@ -175,6 +175,26 @@ def main():
     t_meas_t = timeit(phase_weights_table, state_t, field, scan)
     t_full_t = timeit(full_t, state_t)
 
+    # Build/lookup split of the table phase: time the bare lf_score_table
+    # at the same bin count; lookup ~= whole - build (the heading stats are
+    # two means over [N], negligible).
+    tbins = cfg.mcl.lf_table_bins
+    headings = jnp.linspace(-0.2, 0.2, tbins) + float(np.pi)
+
+    @jax.jit
+    def phase_table_build(edt_arr, scan):
+        return measurement.lf_score_table(
+            edt_arr,
+            scan,
+            headings,
+            rc=rc,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+        )
+
+    t_tbuild = timeit(phase_table_build, field.edt, scan)
+
     n, b = args.particles, lidar.n_rays
     meas_bytes = n * b * 4 + n * 4  # EDT endpoint gathers + weight writes
     gbps = meas_bytes / t_meas / 1e9
@@ -187,6 +207,7 @@ def main():
         ("predict", t_pred), ("edt rebuild", t_edt), ("lf weights", t_meas),
         ("resample", t_rs), ("map update", t_map), ("full step", t_full),
         ("lf-table weights", t_meas_t), ("full step (table)", t_full_t),
+        ("table build alone", t_tbuild),
     ):
         print(f"# {name:18s} {t * 1e3:8.2f} ms", file=sys.stderr)
     print(f"# lf weights: {meas_bytes / 1e6:.0f} MB of endpoint gathers -> "
@@ -206,6 +227,7 @@ def main():
             "speed_of_light_ms": round(sol_ms, 3),
             "lf_table_weights_ms": round(t_meas_t * 1e3, 3),
             "full_step_table_ms": round(t_full_t * 1e3, 3),
+            "lf_table_build_ms": round(t_tbuild * 1e3, 3),
         },
     }))
 
