@@ -344,19 +344,25 @@ def particle_log_weights_lf_table(
         field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit, z_rand=z_rand
     )
 
-    # Two-gather lookup: sensor cell, lerp between adjacent heading bins.
-    # The table is indexed 3-D (multi-dim gather) — a flat t*H*W + i*w + j
-    # index would overflow int32 at table_bins * H * W >= 2^31 (32 bins on a
-    # ~8192^2 map), exactly the big-map regime this path targets.
+    # One-gather lookup: sensor cell, lerp between adjacent heading bins.
+    # The table transposes to bins-LAST [H, W, T] so the (t0, t0+1) lerp
+    # pair is CONTIGUOUS and both values ride ONE 2-element dynamic-slice
+    # gather per particle (at 1M particles the lookup gathers are most of
+    # the 48 ms table phase — same scattered-gather floor as the roofline's
+    # panorama rows). Indexing is multi-dim (no flat t*H*W + i*w + j word,
+    # which would overflow int32 at table_bins * H * W >= 2^31 — 32 bins on
+    # a ~8192^2 map, exactly the big-map regime this path targets).
+    tbl = jnp.moveaxis(table, 0, -1)  # [H, W, T], one transpose per scan
     i, j = gridlib.world_to_cell((h, w), sp.x, sp.y)
     ic, jc = gridlib.clamp_cell((h, w), i, j)
     d = jnp.arctan2(jnp.sin(sp.theta - mu), jnp.cos(sp.theta - mu))
     u = jnp.clip(d / binw + (t - 1) / 2.0, 0.0, float(t - 1))
     t0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, t - 2)
     frac = u - t0.astype(u.dtype)
-    s0 = table[t0, ic, jc]
-    s1 = table[t0 + 1, ic, jc]
-    score = (1.0 - frac) * s0 + frac * s1
+    pair = jax.vmap(
+        lambda a, b, k: jax.lax.dynamic_slice(tbl, (a, b, k), (1, 1, 2))[0, 0]
+    )(ic, jc, t0)  # [N, 2]
+    score = (1.0 - frac) * pair[:, 0] + frac * pair[:, 1]
     # Out-of-window headings (beyond half a bin past the edge): z_rand floor
     # instead of the edge-bin score (see docstring).
     n_valid = jnp.sum(scan.dists < rc.max_dist).astype(jnp.float32)
