@@ -32,18 +32,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def find_start(blocked: np.ndarray) -> tuple[float, float]:
     """A free cell with good clearance near the map center (maze corridors
-    are narrow; pick the most open spot in the central region)."""
-    from slam_tpu.native import erode_disc
+    are narrow; pick the most open spot in the central region).
 
-    free = ~blocked
-    r = 0
-    best = free
-    while True:
-        nxt = erode_disc(~blocked, r + 2).astype(bool)
-        if not nxt.any():
-            break
-        best, r = nxt, r + 2
-    ii, jj = np.nonzero(best)
+    One JFA distance transform replaces the old iterated-erosion loop: the
+    max-clearance set is exactly the last nonempty erosion, and the erosion
+    fallback (no native lib) took minutes on maze-sized maps."""
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import edt as edtlib
+
+    # Out-of-map counts as blocked (the old erosion padded with obstacle),
+    # so clearance at the border is distance to the border.
+    bpad = np.pad(np.asarray(blocked), 1, constant_values=True)
+    e = np.array(edtlib.edt_jfa(jnp.asarray(bpad), max_dist=64.0))[1:-1, 1:-1]
+    e[np.asarray(blocked)] = 0.0
+    # Near-max clearance (1 px slack absorbs the JFA's metric quantization),
+    # then closest to the map center among those.
+    ii, jj = np.nonzero(e >= e.max() - 1.0)
     h, w = blocked.shape
     k = np.argmin((ii - h / 2) ** 2 + (jj - w / 2) ** 2)
     i, j = int(ii[k]), int(jj[k])
