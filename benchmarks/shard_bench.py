@@ -73,7 +73,8 @@ def main():
     mesh = make_mesh(beam_axis=args.beam_axis)
     n_dev = mesh.devices.size
     p_size = mesh.shape["p"]
-    n = args.particles - (args.particles % p_size)  # divisible by 'p'
+    # Divisible by 'p', and at least one particle per shard.
+    n = max(p_size, args.particles - (args.particles % p_size))
 
     blocked = jnp.asarray(floor_plan_blocked())
     lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
@@ -96,9 +97,7 @@ def main():
     scan = fake_lidar.scan(blocked, pose, lidar, RaycastConfig(max_dist=500.0))
     odom = Odometry.create(2.5, 0.02, 0.02)
 
-    def fence(x):
-        leaf = jax.tree.leaves(x)[0]
-        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+    from slam_tpu.utils.profiling import fence
 
     # --- sharded step over the full mesh ---
     engine = ShardedGridSLAM(mesh, cfg)

@@ -90,12 +90,14 @@ def main(argv=None):
             touched = np.asarray(planner.state.g) < INF
         return touched.reshape(h * w, k).any(axis=1).reshape(h, w)
 
-    def run_and_render(a, b, out):
-        if args.animate:
+    def run_and_render(a, b, out, gif=None):
+        if gif:
             frames = []
             with measure_time("hybrid A* pathfind (animated)"):
                 rounds, done = 0, False
-                while not done:
+                # Same round budget as solve() (cfg.max_rounds), so a hard
+                # query terminates instead of accumulating frames forever.
+                while not done and rounds < cfg.max_rounds:
                     done = planner.pathfind()
                     rounds += 1
                     if done or rounds % max(1, args.animate_every) == 0:
@@ -107,8 +109,8 @@ def main(argv=None):
                         frames.append(fr)
             ok = planner.success
             if frames:
-                render.save_gif(frames, args.animate, fps=5)
-                print(f"animation -> {args.animate}")
+                render.save_gif(frames, gif, fps=5)
+                print(f"animation -> {gif}")
         else:
             with measure_time("hybrid A* pathfind"):
                 ok = planner.solve()
@@ -128,16 +130,22 @@ def main(argv=None):
         print(f"-> {out}")
         return ok
 
-    ok = run_and_render(a, b, args.out)
+    ok = run_and_render(a, b, args.out, gif=args.animate)
     if args.interactive:
         from slam_tpu.apps.common import interactive_queries
 
-        stem, dot, ext = args.out.rpartition(".")
+        def _suffixed(path, k):
+            stem, dot, ext = path.rpartition(".")
+            return f"{stem}_{k}{dot}{ext}" if dot else f"{path}_{k}"
+
         for k, (s, g) in enumerate(interactive_queries(), start=1):
             a = Pose.create(s[0], s[1], 0.0)
             b = Pose.create(g[0], g[1], 0.0)
             planner.reset_query(a, b)  # warm: keeps map/ray-field/compilation
-            ok = run_and_render(a, b, f"{stem}_{k}{dot}{ext}" if dot else f"{args.out}_{k}")
+            ok = run_and_render(
+                a, b, _suffixed(args.out, k),
+                gif=_suffixed(args.animate, k) if args.animate else None,
+            )
     return ok
 
 

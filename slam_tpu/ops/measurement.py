@@ -286,8 +286,9 @@ def particle_log_weights_lf_table(
     latency-bound). This path builds `lf_score_table` over ``table_bins``
     heading bins spanning the particle cloud's ACTUAL circular heading
     spread (mean +- spread_mult * circular std, clamped to
-    [min_halfwidth, pi]), then scores each particle with TWO scalar gathers
-    (linear interpolation between adjacent heading bins) at its sensor cell.
+    [min_halfwidth, pi]), then scores each particle with ONE contiguous
+    2-element gather at its sensor cell (the bins-last table puts the
+    (t0, t0+1) lerp pair side by side).
     Build cost is particle-count-independent; per-particle cost drops B-fold.
 
     Accuracy: endpoint positions are quantized by the sensor-cell rounding

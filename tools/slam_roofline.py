@@ -146,7 +146,7 @@ def main():
 
     # The correlative-table variant (measurement='likelihood_field_table'):
     # the per-beam endpoint gathers (N x B) become a particle-count-
-    # independent table build + TWO gathers per particle — the designed
+    # independent table build + ONE pair gather per particle — the designed
     # fix for exactly this large-N wall.
     import dataclasses as _dc
 
