@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--beam-axis", type=int, default=1)
     ap.add_argument(
+        "--measurement",
+        default="likelihood_field_table",
+        choices=["likelihood_field", "likelihood_field_table"],
+        help="table = the large-N fast path (1M step 706 -> 65 ms, "
+        "RESULTS.md round 3)",
+    )
+    ap.add_argument(
         "--virtual",
         type=int,
         default=0,
@@ -85,7 +92,7 @@ def main():
             mcl=MCLConfig(
                 n_particles=n_particles,
                 meas_stddev=5.0,
-                measurement="likelihood_field",
+                measurement=args.measurement,
             ),
             lidar=lidar,
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
@@ -146,6 +153,7 @@ def main():
         # scaling efficiency vs the perfect-weak-scaling single-device run
         "vs_baseline": round(t_local / t_shard, 3),
         "n_devices": int(n_dev),
+        "measurement": args.measurement,
         "mesh": dict(mesh.shape),
         "particles": int(n),
         "particle_updates_per_s": round(pu_s, 1),

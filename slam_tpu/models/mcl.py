@@ -149,6 +149,7 @@ def update(
                 table_bins=cfg.lf_table_bins,
                 spread_mult=cfg.lf_table_spread,
                 min_halfwidth=cfg.lf_table_min_halfwidth,
+                table_dtype=cfg.lf_table_dtype,
                 ray_sharding=ray_sharding,
             )
         else:

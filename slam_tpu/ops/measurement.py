@@ -187,7 +187,9 @@ def particle_log_weights_likelihood_field(
     return jnp.sum(lw, axis=-1)
 
 
-def lf_score_table(edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand):
+def lf_score_table(
+    edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand, dtype="f32"
+):
     """Correlative likelihood-field score table over explicit heading bins.
 
     For each heading-bin center ``headings[t]`` build the dense map
@@ -220,10 +222,14 @@ def lf_score_table(edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand):
     h, w = edt.shape
     pad = int(math.ceil(rc.max_dist)) + 1
     floor_val = float(math.log(max(z_rand / rc.max_dist, 1e-30)))
+    # The build is HBM-bound on the window reads (T x B x H x W elements);
+    # dtype="bf16" halves that traffic. Accumulation stays f32 (the einsum
+    # below upcasts), so only the per-cell score quantizes (~0.4% rel).
+    store = jnp.bfloat16 if dtype == "bf16" else jnp.float32
     L = jnp.log(
         jnp.maximum(z_hit * pdf_normal(stddev, edt) + z_rand / rc.max_dist, 1e-30)
-    ).astype(jnp.float32)
-    lpad = jnp.pad(L, pad, constant_values=floor_val)
+    ).astype(store)
+    lpad = jnp.pad(L, pad, constant_values=jnp.asarray(floor_val, store))
 
     valid = (scan.dists < rc.max_dist).astype(jnp.float32)  # [B]
     ang = headings[:, None] + scan.angles[None, :]  # [T, B]
@@ -276,6 +282,7 @@ def particle_log_weights_lf_table(
     table_bins: int = 32,
     spread_mult: float = 4.0,
     min_halfwidth: float = 0.02,
+    table_dtype: str = "f32",
     ray_sharding=None,
 ):
     """Likelihood-field weights via a windowed correlative score table.
@@ -342,7 +349,8 @@ def particle_log_weights_lf_table(
     headings = mu + (jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0) * binw
 
     table = lf_score_table(
-        field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit, z_rand=z_rand
+        field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit,
+        z_rand=z_rand, dtype=table_dtype,
     )
 
     # One-gather lookup: sensor cell, lerp between adjacent heading bins.

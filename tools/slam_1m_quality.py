@@ -30,6 +30,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--table-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -66,6 +67,7 @@ def main():
                 n_particles=args.particles,
                 meas_stddev=5.0,
                 measurement=meas,
+                lf_table_dtype=args.table_dtype,
             ),
             lidar=lidar,
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
@@ -83,6 +85,7 @@ def main():
         "unit": "px",
         "direct_lf_ate_px": out["likelihood_field"],
         "steps": args.steps,
+        "table_dtype": args.table_dtype,
     }))
 
 

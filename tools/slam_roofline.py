@@ -195,6 +195,30 @@ def main():
 
     t_tbuild = timeit(phase_table_build, field.edt, scan)
 
+    # bf16 score-field variant: the build is HBM-bound on the window reads,
+    # so halving the element size should land near 2x on the build.
+    @jax.jit
+    def phase_table_build_bf16(edt_arr, scan):
+        return measurement.lf_score_table(
+            edt_arr,
+            scan,
+            headings,
+            rc=rc,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+            dtype="bf16",
+        )
+
+    t_tbuild16 = timeit(phase_table_build_bf16, field.edt, scan)
+
+    cfg_t16 = _dc.replace(
+        cfg_t, mcl=_dc.replace(cfg_t.mcl, lf_table_dtype="bf16")
+    )
+    full_t16 = jax.jit(lambda st: slam_mod.step(st, odom, scan, cfg_t16))
+    state_t16 = full_t16(state_t)
+    t_full_t16 = timeit(full_t16, state_t16)
+
     n, b = args.particles, lidar.n_rays
     meas_bytes = n * b * 4 + n * 4  # EDT endpoint gathers + weight writes
     gbps = meas_bytes / t_meas / 1e9
@@ -208,6 +232,8 @@ def main():
         ("resample", t_rs), ("map update", t_map), ("full step", t_full),
         ("lf-table weights", t_meas_t), ("full step (table)", t_full_t),
         ("table build alone", t_tbuild),
+        ("table build bf16", t_tbuild16),
+        ("full step (table bf16)", t_full_t16),
     ):
         print(f"# {name:18s} {t * 1e3:8.2f} ms", file=sys.stderr)
     print(f"# lf weights: {meas_bytes / 1e6:.0f} MB of endpoint gathers -> "
@@ -228,6 +254,8 @@ def main():
             "lf_table_weights_ms": round(t_meas_t * 1e3, 3),
             "full_step_table_ms": round(t_full_t * 1e3, 3),
             "lf_table_build_ms": round(t_tbuild * 1e3, 3),
+            "lf_table_build_bf16_ms": round(t_tbuild16 * 1e3, 3),
+            "full_step_table_bf16_ms": round(t_full_t16 * 1e3, 3),
         },
     }))
 
