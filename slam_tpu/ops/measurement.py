@@ -188,7 +188,16 @@ def particle_log_weights_likelihood_field(
 
 
 def lf_score_table(
-    edt, scan: Scan, headings, *, rc, stddev, z_hit, z_rand, dtype="f32"
+    edt,
+    scan: Scan,
+    headings,
+    *,
+    rc,
+    stddev,
+    z_hit,
+    z_rand,
+    dtype="f32",
+    bin_sharding=None,
 ):
     """Correlative likelihood-field score table over explicit heading bins.
 
@@ -266,6 +275,17 @@ def lf_score_table(
         )
         return acc
 
+    if bin_sharding is not None:
+        # Multi-chip: bins in parallel (vmap) with the bin axis pinned to
+        # the mesh — each device builds T / |axis| bins; the downstream
+        # per-particle gather re-replicates the table (one ~T*H*W*4 B
+        # all-gather over ICI). The sequential lax.map below stays the
+        # single-device default (vmap's [T, chunk, H, W] slice stack is
+        # T/8-sharded here, but would be resident in full on one device).
+        table = jax.lax.with_sharding_constraint(
+            jax.vmap(one_bin)((oi_c, oj_c)), bin_sharding
+        )
+        return table
     return jax.lax.map(one_bin, (oi_c, oj_c))  # [T, h, w]
 
 
@@ -319,12 +339,25 @@ def particle_log_weights_lf_table(
     if injection is routinely active, prefer the direct likelihood-field
     model for that phase.
 
-    `ray_sharding` is accepted for API parity and unused: there is no [N, B]
-    intermediate — the table is map-shaped (replicated under the sharded
-    engines) and all per-particle arrays are [N] (carry the particle
-    sharding).
+    Under the sharded engines `ray_sharding` (the [N, B] P('p', 'b') spec)
+    repurposes its beam axis: when the mesh has a non-trivial 'b' axis the
+    TABLE BUILD shards its heading-bin axis over it (each device builds
+    T / |b| bins; the per-particle lookup gather re-replicates the table —
+    one ~T*H*W*4 B all-gather on ICI). All per-particle arrays are [N] and
+    keep the particle sharding as usual.
     """
-    del ray_sharding
+    bin_sharding = None
+    if ray_sharding is not None:
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh_ = ray_sharding.mesh
+            if mesh_.shape.get("b", 1) > 1:
+                bin_sharding = NamedSharding(
+                    mesh_, PartitionSpec("b", None, None)
+                )
+        except AttributeError:
+            pass  # not a NamedSharding — no bin axis to use
     from slam_tpu.core import grid as gridlib
 
     field = as_ray_field(field, rc)
@@ -350,7 +383,7 @@ def particle_log_weights_lf_table(
 
     table = lf_score_table(
         field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit,
-        z_rand=z_rand, dtype=table_dtype,
+        z_rand=z_rand, dtype=table_dtype, bin_sharding=bin_sharding,
     )
 
     # One-gather lookup: sensor cell, lerp between adjacent heading bins.
