@@ -147,10 +147,12 @@ class MCLConfig:
     lf_table_spread: float = 4.0
     lf_table_min_halfwidth: float = 0.02
     # Storage dtype of the padded per-cell score field the build slides
-    # windows over. The build is HBM-bandwidth-bound at 1M (20.6 ms ~= the
-    # f32 traffic at peak), so "bf16" halves it at ~0.4% relative score
-    # error summed over beams; f32 stays the default until the bf16
-    # quality A/B (tools/slam_1m_quality.py --table-dtype) is recorded.
+    # windows over. MEASURED NEGATIVE, keep "f32": on-chip at 1M the bf16
+    # build is NOT faster (19.4 vs 18.7 ms — the window reads aren't the
+    # simple bandwidth bottleneck the byte model predicted) and the ~0.2%
+    # per-cell score quantization degrades closed-loop ATE 3.51 -> 12.9 px
+    # (tools/slam_1m_quality.py --table-dtype bf16) — at 1M particles the
+    # winning weights differ by less than the bf16 error.
     lf_table_dtype: str = "f32"
     # "systematic" (low-variance, the upgrade SURVEY section 5 quirk 2 names)
     # or "multinomial" (reference fidelity, `slam/mcl.cpp:157-203`).
