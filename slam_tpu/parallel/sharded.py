@@ -31,8 +31,14 @@ from slam_tpu.parallel import resample as dist_resample
 def _resample_fn(mesh: Mesh, cfg: MCLConfig):
     """Reduce-scatter systematic resampler for the sharded engines (no
     [N]-sized all-gather; see slam_tpu.parallel.resample). Multinomial
-    fidelity mode keeps the general GSPMD path."""
-    if cfg.resample != "systematic":
+    fidelity mode keeps the general GSPMD path.
+
+    A trivial particle axis (|p| == 1: one chip, or a beams-only mesh)
+    keeps the plain resampler too — its seed-routing scatters cost ~25 ms
+    at 1M (measured, shard_bench on one chip: 91 vs 66 ms local) and with
+    one shard there is nothing to exchange; the plain path's gather has no
+    cross-shard source to all-gather either."""
+    if cfg.resample != "systematic" or mesh.shape.get("p", 1) == 1:
         return None
     return lambda key, p: dist_resample.systematic_resample_sharded(
         mesh, key, p
