@@ -108,6 +108,40 @@ class TestLocalization:
         )
         assert np.isfinite(res.est_xy).all()
 
+    def test_ess_throttle_skips_and_fires(self):
+        """ess_threshold < 1 resamples iff ESS <= thr * N: a degenerate
+        cloud (all weight on one particle) fires (log weights reset to the
+        uniform -log N and the cloud collapses onto the winner); an
+        identical-pose cloud (ESS = N) skips (weights accumulate instead)."""
+        cfg = small_cfg(n_particles=64)
+        mcfg = dataclasses.replace(cfg.mcl, ess_threshold=0.5)
+        blocked = jnp.asarray(simulate.synthetic_room())
+        pose = Pose.create(40.0, 40.0, 0.3)
+        scan = fake_lidar.scan(blocked, pose, cfg.lidar, cfg.raycast)
+
+        # Skip branch: identical particles -> equal weights -> ESS = N.
+        state = mcl.init(jax.random.key(0), 64, pose)
+        out = mcl.update(state, scan, blocked, mcfg, cfg.raycast)
+        lw = np.asarray(out.particles.log_weight)
+        assert not np.allclose(lw, -math.log(64.0)), (
+            "resample fired (weights reset) despite ESS = N"
+        )
+
+        # Fire branch: one particle at the true pose, the rest far away.
+        bad_x = state.particles.pose.x.at[1:].set(100.0)
+        bad_y = state.particles.pose.y.at[1:].set(100.0)
+        st = state.replace(
+            particles=state.particles.replace(
+                pose=state.particles.pose.replace(x=bad_x, y=bad_y)
+            )
+        )
+        out = mcl.update(st, scan, blocked, mcfg, cfg.raycast)
+        np.testing.assert_allclose(
+            np.asarray(out.particles.log_weight), -math.log(64.0), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(out.particles.pose.x), 40.0)
+        np.testing.assert_allclose(np.asarray(out.particles.pose.y), 40.0)
+
     def test_update_with_scanner_offset(self):
         cfg = small_cfg()
         cfg = dataclasses.replace(
