@@ -181,13 +181,18 @@ def main():
     ms_per_step = [1e3 * s / args.iters for s in block_secs]
 
     def time_phase(fn, *a):
+        # Same repeats/median drift control as the headline block — a
+        # single-shot phase probe could misattribute a drift spike.
         out = fn(*a)
         fence_any(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*a)
-        fence_any(out)
-        return 1e3 * (time.perf_counter() - t0) / args.iters
+        reps = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(*a)
+            fence_any(out)
+            reps.append(1e3 * (time.perf_counter() - t0) / args.iters)
+        return float(np.median(reps))
 
     phases = {
         "predict_ms": round(time_phase(phase_predict, state), 3),

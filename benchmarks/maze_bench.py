@@ -45,10 +45,16 @@ def find_start(blocked: np.ndarray) -> tuple[float, float]:
     # so clearance at the border is distance to the border.
     bpad = np.pad(np.asarray(blocked), 1, constant_values=True)
     e = np.array(edtlib.edt_jfa(jnp.asarray(bpad), max_dist=64.0))[1:-1, 1:-1]
-    e[np.asarray(blocked)] = 0.0
+    # Candidates are FREE cells only (on a map whose best clearance is
+    # <= 1 px the slack band below would otherwise admit blocked cells).
+    # Cells clearer than the JFA cap saturate to one plateau value, which
+    # just widens the near-max tie set — any >= 64 px-clear cell is an
+    # equally good start, and the center-distance pick breaks the tie.
+    free = ~np.asarray(blocked)
+    e[~free] = 0.0
     # Near-max clearance (1 px slack absorbs the JFA's metric quantization),
     # then closest to the map center among those.
-    ii, jj = np.nonzero(e >= e.max() - 1.0)
+    ii, jj = np.nonzero(free & (e >= e[free].max() - 1.0))
     h, w = blocked.shape
     k = np.argmin((ii - h / 2) ** 2 + (jj - w / 2) ** 2)
     i, j = int(ii[k]), int(jj[k])

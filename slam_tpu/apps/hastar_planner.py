@@ -80,15 +80,24 @@ def main(argv=None):
     planner = HybridAStar(free, a, b, cfg, RaycastConfig(backend=args.backend, step=1.0))
 
     def _reached_cells():
-        """bool[H, W] cells touched by the search (any heading bin)."""
+        """bool[H, W] cells touched by the search (any heading bin).
+
+        The bin reduction happens ON DEVICE so each frame fetches the
+        [H, W] bool (~0.8 MB on the floor plan), not the full
+        [H*W*theta_res] cost table (~112 MB i32 at theta_res=36) through
+        the tunnel."""
+        import jax.numpy as jnp
+
         from slam_tpu.planners.hastar import INF, _INF_PACKED
 
         k = cfg.theta_res
         if cfg.mode == "lattice":
-            touched = np.asarray(planner.state.gp) != _INF_PACKED
+            touched = planner.state.gp != _INF_PACKED
         else:
-            touched = np.asarray(planner.state.g) < INF
-        return touched.reshape(h * w, k).any(axis=1).reshape(h, w)
+            touched = planner.state.g < INF
+        return np.asarray(
+            jnp.any(touched.reshape(h * w, k), axis=1).reshape(h, w)
+        )
 
     def run_and_render(a, b, out, gif=None):
         if gif:

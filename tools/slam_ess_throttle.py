@@ -75,12 +75,10 @@ def main():
     scan_fn = jax.jit(
         lambda pose: fake_lidar.scan(blocked, pose, lidar, rc)
     )
+    from slam_tpu.utils.profiling import fence
+
     # Resample fired this step iff log_w was reset to uniform.
     fired_probe = jax.jit(lambda st: jnp.ptp(st.mcl.particles.log_weight) == 0)
-
-    def fence(x):
-        leaf = jax.tree.leaves(x)[0]
-        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
 
     results = {}
     for thr in (float(t) for t in args.thresholds.split(",")):
