@@ -34,6 +34,7 @@ from slam_tpu.core.config import (
     MCLConfig,
     MotionConfig,
     RaycastConfig,
+    ScanMatchConfig,
     SLAMConfig,
 )
 from slam_tpu.core.types import Odometry, Pose
@@ -99,6 +100,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save rolling orbax checkpoints here and resume if present")
     ap.add_argument("--checkpoint-every", type=int, default=25)
+    ap.add_argument(
+        "--scanmatch", action="store_true",
+        help="correlative scan-matching pose refinement (SLAM mode): the "
+        "output estimate (and the mapping pose) is the local likelihood-"
+        "field peak around the best particle (ops/scanmatch.py)",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -121,6 +128,7 @@ def main(argv=None):
         lidar=LidarConfig(n_rays=args.n_rays, max_dist=args.max_dist, stddev=5.0),
         motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
         raycast=RaycastConfig(step=1.0, max_dist=args.max_dist, backend=args.backend),
+        scanmatch=ScanMatchConfig() if args.scanmatch else None,
     )
 
     start = Pose.create(w / 2.0, h / 2.0, np.pi / 2)
@@ -195,7 +203,11 @@ def main(argv=None):
 
         st = state.mcl if args.mode == "slam" else mcl_state
         mp = mcl_mod.mean_pose(st)
-        est_xy.append([float(mp.x), float(mp.y)])
+        if args.mode == "slam" and args.scanmatch:
+            # The scan-matched pose is the engine's designated estimate.
+            est_xy.append([float(state.est_pose.x), float(state.est_pose.y)])
+        else:
+            est_xy.append([float(mp.x), float(mp.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
 
         if ckpt_mgr is not None and (t + 1) % args.checkpoint_every == 0:

@@ -185,6 +185,41 @@ def beam_bin_stride(lidar: "LidarConfig", rc: "RaycastConfig") -> Optional[int]:
 
 
 @dataclasses.dataclass(frozen=True)
+class ScanMatchConfig:
+    """Correlative scan-matching pose refinement (slam_tpu.ops.scanmatch).
+
+    A beyond-parity component: the reference's pose estimate is the
+    highest-weight particle (`slam/mcl.cpp:236-238`); this refines that
+    seed by a local correlative search over the likelihood field (the
+    single-level form of Olson, ICRA 2009) with sub-cell quadratic peak
+    interpolation. ~theta_bins * (2*window+1)^2 * beams gathers — latency
+    is negligible next to the filter update at any particle count."""
+
+    # Integer-cell translation search radius around the seed (candidates
+    # span [-window, +window] in both world axes).
+    window: int = 5
+    # Heading search half-width (rad) and candidate count across it.
+    theta_halfwidth: float = 0.06
+    theta_bins: int = 13
+    # Quadratic sub-cell / sub-bin peak interpolation.
+    subcell: bool = True
+    # Drive the log-odds map update with the refined pose (GMapping-style
+    # match-before-map) instead of the raw best particle. The refined
+    # OUTPUT estimate (`SLAMState.est_pose`) is produced either way.
+    # Default False: measured neutral-to-worse closed-loop (the map-pose
+    # feedback amplifies the refinement's residual bias; see RESULTS.md).
+    mapping: bool = False
+    # Expected EDT value at a true beam endpoint, in cells. Beam endpoints
+    # land on wall FACES (plus ~step/2 march penetration) while the EDT
+    # zeroes at wall cell CENTERS, so the likelihood peak sits ~half a
+    # cell inside walls; scoring |edt - edt_offset| recenters it.
+    # Calibrated on the floor plan: mean refined-from-truth error
+    # 0.68 px at 0.0, 0.42 px at 0.5, worse beyond (tools probe in
+    # tests/test_scanmatch.py covers the bias bound).
+    edt_offset: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
 class SLAMConfig:
     """Full grid-SLAM: MCL + shared-map log-odds occupancy mapping."""
 
@@ -196,6 +231,10 @@ class SLAMConfig:
     # Map update throttling: update the map from the estimated pose every
     # k-th scan (1 = every scan).
     map_every: int = 1
+    # Optional correlative scan-matching refinement of the output pose
+    # estimate; when set, the refined pose also drives the map update
+    # (`SLAMState.est_pose` carries it either way).
+    scanmatch: Optional[ScanMatchConfig] = None
 
 
 @dataclasses.dataclass(frozen=True)

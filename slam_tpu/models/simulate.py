@@ -38,6 +38,10 @@ class SimResult:
     best_xy: np.ndarray  # [T, 2] best-particle trajectory
     gt_xy: np.ndarray  # [T, 2] ground-truth trajectory
     final_state: object
+    # [T, 2] engine output-estimate trajectory (SLAMState.est_pose: the
+    # correlative scan-matched pose when SLAMConfig.scanmatch is set);
+    # None for localization runs.
+    sm_xy: np.ndarray | None = None
 
 
 def run_localization(
@@ -109,7 +113,7 @@ def run_slam(
 
     key = jax.random.key(seed + 1)
     gt_pose = start_pose
-    est_xy, best_xy, gt_xy = [], [], []
+    est_xy, best_xy, gt_xy, sm_xy = [], [], [], []
     scan_fn = jax.jit(
         lambda pose, k: fake_lidar.scan(
             gt_blocked, pose, cfg.lidar, cfg.raycast, key=k
@@ -135,6 +139,7 @@ def run_slam(
         best_xy.append(
             [float(state.mcl.best_pose.x), float(state.mcl.best_pose.y)]
         )
+        sm_xy.append([float(state.est_pose.x), float(state.est_pose.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
 
     return SimResult(
@@ -142,6 +147,7 @@ def run_slam(
         best_xy=np.array(best_xy),
         gt_xy=np.array(gt_xy),
         final_state=state,
+        sm_xy=np.array(sm_xy),
     )
 
 

@@ -30,6 +30,10 @@ from slam_tpu.ops import mapping
 class SLAMState:
     mcl: mcl_mod.MCLState
     grid: jax.Array  # f32[H, W] log-odds of occupancy
+    # The engine's output pose estimate after the latest update: the
+    # correlative scan-matched pose when `SLAMConfig.scanmatch` is set
+    # (slam_tpu.ops.scanmatch), otherwise the best particle.
+    est_pose: Pose
 
 
 def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
@@ -39,6 +43,7 @@ def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
     return SLAMState(
         mcl=mcl_mod.init(key, cfg.mcl.n_particles, pose),
         grid=gridlib.uniform_logodds((h, w)),
+        est_pose=pose,
     )
 
 
@@ -50,13 +55,32 @@ def step(
     ray_sharding=None,
     resample_fn=None,
 ) -> SLAMState:
-    """One full SLAM step (predict + update + map + resample)."""
+    """One full SLAM step (predict + update + [refine] + map + resample)."""
     st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
     blocked = gridlib.blocked_from_logodds(state.grid)
+
+    # The likelihood-field measurement paths and the scan-matching
+    # refinement share one capped JFA EDT, built here so it isn't computed
+    # twice (mcl.update builds its own only when handed a raw mask).
+    lf_meas = cfg.mcl.measurement in (
+        "likelihood_field",
+        "likelihood_field_table",
+    )
+    lf_field = None
+    if lf_meas or cfg.scanmatch is not None:
+        from slam_tpu.ops import edt as edtlib, rayfield
+
+        lf_field = rayfield.RayField(
+            blocked=blocked,
+            edt=edtlib.edt_jfa(
+                blocked, max_dist=5.0 * cfg.mcl.meas_stddev + 2.0
+            ),
+        )
+
     st = mcl_mod.update(
         st,
         scan,
-        blocked,
+        lf_field if lf_meas else blocked,
         cfg.mcl,
         cfg.raycast,
         ray_sharding=ray_sharding,
@@ -64,10 +88,29 @@ def step(
     )
 
     # Map from the best particle's pose (the reference renders/keeps the best
-    # particle's map, `slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`).
+    # particle's map, `slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`),
+    # correlatively refined first when configured.
+    est_pose = map_pose = st.best_pose
+    if cfg.scanmatch is not None:
+        from slam_tpu.ops import scanmatch
+
+        est_pose, _ = scanmatch.refine_pose(
+            lf_field,
+            st.best_pose,
+            scan,
+            rc=cfg.raycast,
+            cfg=cfg.scanmatch,
+            scanner_offset=cfg.mcl.scanner_offset,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+        )
+        if cfg.scanmatch.mapping:
+            map_pose = est_pose
+
     new_grid = mapping.scan_logodds_update(
         state.grid,
-        st.best_pose,
+        map_pose,
         scan,
         scanner_offset=cfg.mcl.scanner_offset,
         step=cfg.raycast.step,
@@ -79,7 +122,7 @@ def step(
     )
     do_map = (st.step % cfg.map_every) == 0
     new_grid = jnp.where(do_map, new_grid, state.grid)
-    return SLAMState(mcl=st, grid=new_grid)
+    return SLAMState(mcl=st, grid=new_grid, est_pose=est_pose)
 
 
 def predict_only(state: SLAMState, odom: Odometry, cfg: SLAMConfig) -> SLAMState:

@@ -187,6 +187,18 @@ def particle_log_weights_likelihood_field(
     return jnp.sum(lw, axis=-1)
 
 
+def lf_log_score_field(edt, *, stddev, z_hit, z_rand, max_dist):
+    """Per-cell beam-endpoint log score over the EDT:
+    log(z_hit * N(edt; sigma) + z_rand / z_max) — the field both the
+    correlative table build (`lf_score_table`) and the scan-matching
+    refinement (slam_tpu.ops.scanmatch) slide windows over."""
+    from slam_tpu.core.stats import pdf_normal
+
+    return jnp.log(
+        jnp.maximum(z_hit * pdf_normal(stddev, edt) + z_rand / max_dist, 1e-30)
+    )
+
+
 def lf_score_table(
     edt,
     scan: Scan,
@@ -226,8 +238,6 @@ def lf_score_table(
     particle-count-independent, which is the whole point (see
     `particle_log_weights_lf_table`).
     """
-    from slam_tpu.core.stats import pdf_normal
-
     h, w = edt.shape
     pad = int(math.ceil(rc.max_dist)) + 1
     floor_val = float(math.log(max(z_rand / rc.max_dist, 1e-30)))
@@ -235,8 +245,8 @@ def lf_score_table(
     # dtype="bf16" halves that traffic. Accumulation stays f32 (the einsum
     # below upcasts), so only the per-cell score quantizes (~0.4% rel).
     store = jnp.bfloat16 if dtype == "bf16" else jnp.float32
-    L = jnp.log(
-        jnp.maximum(z_hit * pdf_normal(stddev, edt) + z_rand / rc.max_dist, 1e-30)
+    L = lf_log_score_field(
+        edt, stddev=stddev, z_hit=z_hit, z_rand=z_rand, max_dist=rc.max_dist
     ).astype(store)
     lpad = jnp.pad(L, pad, constant_values=jnp.asarray(floor_val, store))
 

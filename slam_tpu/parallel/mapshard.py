@@ -185,7 +185,9 @@ class MapShardedGridSLAM:
             )
             do_map = (st.step % cfg.map_every) == 0
             new_grid = jnp.where(do_map, new_grid, state.grid)
-            return slam_mod.SLAMState(mcl=st, grid=new_grid)
+            return slam_mod.SLAMState(
+                mcl=st, grid=new_grid, est_pose=st.best_pose
+            )
 
         self._step = jax.jit(step)
         self._predict = jax.jit(
