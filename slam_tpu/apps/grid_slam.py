@@ -145,6 +145,29 @@ def main(argv=None):
         mcl_state = mcl_mod.init(key, args.particles, start)
         loc_field = rayfield.make_ray_field(blocked, cfg.raycast)
 
+    refine_fn = None
+    if args.scanmatch and args.mode == "loc":
+        from slam_tpu.ops import edt as edtlib, rayfield as rf_mod, scanmatch
+
+        sm_field = loc_field
+        if sm_field.edt is None:
+            sm_field = rf_mod.RayField(
+                blocked=blocked,
+                edt=edtlib.edt_jfa(
+                    blocked, max_dist=5.0 * cfg.mcl.meas_stddev + 2.0
+                ),
+            )
+        refine_fn = jax.jit(
+            lambda p, z: scanmatch.refine_pose(
+                sm_field,
+                p,
+                z,
+                rc=cfg.raycast,
+                scanner_offset=cfg.mcl.scanner_offset,
+                stddev=cfg.mcl.meas_stddev,
+            )[0]
+        )
+
     scripted = None
     if args.commands:
         with open(args.commands) as f:
@@ -171,6 +194,7 @@ def main(argv=None):
         start_step = int(ckpt_mgr.latest_step()) + 1
         print(f"resumed from step {start_step - 1}")
     frames, est_xy, gt_xy = [], [], []
+    last_scan = None
     for t in range(start_step, args.steps if not scripted else len(scripted)):
         key, k_gt, k_cmd = jax.random.split(key, 3)
         if args.interactive:
@@ -189,7 +213,9 @@ def main(argv=None):
 
         if (t + 1) % args.update_every == 0:
             sp = sensor_pose(gt_pose, cfg.mcl.scanner_offset)
-            scan = fake_lidar.scan(blocked, sp, cfg.lidar, cfg.raycast)
+            scan = last_scan = fake_lidar.scan(
+                blocked, sp, cfg.lidar, cfg.raycast
+            )
             if args.mode == "slam":
                 state = engine.step(state, odom, scan)
             else:
@@ -206,6 +232,9 @@ def main(argv=None):
         if args.mode == "slam" and args.scanmatch:
             # The scan-matched pose is the engine's designated estimate.
             est_xy.append([float(state.est_pose.x), float(state.est_pose.y)])
+        elif refine_fn is not None and last_scan is not None:
+            r = refine_fn(mp, last_scan)
+            est_xy.append([float(r.x), float(r.y)])
         else:
             est_xy.append([float(mp.x), float(mp.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])

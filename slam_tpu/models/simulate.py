@@ -64,8 +64,38 @@ def run_localization(
     if field is None:
         field = rayfield.make_ray_field(gt_blocked, cfg.raycast)
 
+    # Optional correlative refinement of the output estimate
+    # (SLAMConfig.scanmatch; slam_tpu.ops.scanmatch): the serving mode
+    # where few particles + the refined mean match a much larger filter.
+    refine_fn = None
+    if cfg.scanmatch is not None:
+        from slam_tpu.ops import edt as edtlib, scanmatch
+
+        sm_field = field
+        if sm_field.edt is None:
+            sm_field = rayfield.RayField(
+                blocked=jnp.asarray(gt_blocked, bool),
+                edt=edtlib.edt_jfa(
+                    jnp.asarray(gt_blocked, bool),
+                    max_dist=5.0 * cfg.mcl.meas_stddev + 2.0,
+                ),
+            )
+        refine_fn = jax.jit(
+            lambda p, z: scanmatch.refine_pose(
+                sm_field,
+                p,
+                z,
+                rc=cfg.raycast,
+                cfg=cfg.scanmatch,
+                scanner_offset=cfg.mcl.scanner_offset,
+                stddev=cfg.mcl.meas_stddev,
+                z_hit=cfg.mcl.lf_z_hit,
+                z_rand=cfg.mcl.lf_z_rand,
+            )[0]
+        )
+
     gt_pose = start_pose
-    est_xy, best_xy, gt_xy = [], [], []
+    est_xy, best_xy, gt_xy, sm_xy = [], [], [], []
     scan_fn = jax.jit(
         lambda pose, k: fake_lidar.scan(
             gt_blocked, pose, cfg.lidar, cfg.raycast, key=k
@@ -74,6 +104,7 @@ def run_localization(
         else fake_lidar.scan(gt_blocked, pose, cfg.lidar, cfg.raycast)
     )
 
+    scan = None
     for t, odom in enumerate(commands):
         k_gt, k_scan = jax.random.split(jax.random.fold_in(k_gt, t))
         state = m.predict(state, odom, cfg.motion.alphas)
@@ -89,12 +120,18 @@ def run_localization(
         est_xy.append([float(mp.x), float(mp.y)])
         best_xy.append([float(state.best_pose.x), float(state.best_pose.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
+        if refine_fn is not None and scan is not None:
+            r = refine_fn(mp, scan)
+            sm_xy.append([float(r.x), float(r.y)])
+        else:
+            sm_xy.append(est_xy[-1])
 
     return SimResult(
         est_xy=np.array(est_xy),
         best_xy=np.array(best_xy),
         gt_xy=np.array(gt_xy),
         final_state=state,
+        sm_xy=np.array(sm_xy) if refine_fn is not None else None,
     )
 
 
