@@ -55,8 +55,10 @@ def init(key, n_particles: int, pose: Pose) -> MCLState:
         particles=Particles.uniform_at(pose, n_particles),
         key=key,
         best_pose=pose,
-        log_w_slow=jnp.float32(0.0),
-        log_w_fast=jnp.float32(0.0),
+        # NaN = "no update seen yet": the adaptive-injection EMAs warm-start
+        # from the first observed average likelihood (see `update`).
+        log_w_slow=jnp.float32(jnp.nan),
+        log_w_fast=jnp.float32(jnp.nan),
         step=jnp.int32(0),
     )
 
@@ -206,13 +208,30 @@ def update(
     log_w_slow, log_w_fast = state.log_w_slow, state.log_w_fast
     if cfg.adaptive is not None:
         # EMAs of the mean unnormalized likelihood, tracked in log space.
+        # WARM START on the first update: the EMAs initialize to log(1) = 0
+        # while a realistic multi-beam log likelihood is hugely negative
+        # (~-400 at 90 beams), so cold EMAs would leave w_fast << w_slow —
+        # injection ratio saturated at ~1 — for dozens of steps (measured:
+        # global localization that converges in 2 steps without injection
+        # never converges with cold-started injection). Seeding both EMAs
+        # with the first observed average makes the ratio start at 0 and
+        # respond only to CHANGES in likelihood, the notebook's intent.
         log_w_avg = jax.nn.logsumexp(lw) - jnp.log(n)
+        first = jnp.isnan(log_w_slow)
         a_s, a_f = cfg.adaptive.alpha_slow, cfg.adaptive.alpha_fast
-        log_w_slow = jnp.logaddexp(
-            jnp.log1p(-a_s) + log_w_slow, jnp.log(a_s) + log_w_avg
+        log_w_slow = jnp.where(
+            first,
+            log_w_avg,
+            jnp.logaddexp(
+                jnp.log1p(-a_s) + log_w_slow, jnp.log(a_s) + log_w_avg
+            ),
         )
-        log_w_fast = jnp.logaddexp(
-            jnp.log1p(-a_f) + log_w_fast, jnp.log(a_f) + log_w_avg
+        log_w_fast = jnp.where(
+            first,
+            log_w_avg,
+            jnp.logaddexp(
+                jnp.log1p(-a_f) + log_w_fast, jnp.log(a_f) + log_w_avg
+            ),
         )
         ratio = jnp.maximum(0.0, 1.0 - jnp.exp(log_w_fast - log_w_slow))
         particles = resample.inject_random_particles(
