@@ -163,8 +163,11 @@ def main(argv=None):
                 p,
                 z,
                 rc=cfg.raycast,
+                cfg=cfg.scanmatch,
                 scanner_offset=cfg.mcl.scanner_offset,
                 stddev=cfg.mcl.meas_stddev,
+                z_hit=cfg.mcl.lf_z_hit,
+                z_rand=cfg.mcl.lf_z_rand,
             )[0]
         )
 
@@ -229,10 +232,16 @@ def main(argv=None):
 
         st = state.mcl if args.mode == "slam" else mcl_state
         mp = mcl_mod.mean_pose(st)
-        if args.mode == "slam" and args.scanmatch:
-            # The scan-matched pose is the engine's designated estimate.
+        # The scan-matched estimate is only meaningful on UPDATE frames: on
+        # predict-only frames slam-mode est_pose is stale (predict_only never
+        # advances it) and loc-mode refinement would score the CURRENT mean
+        # against the OLD scan, dragging the estimate back toward the old
+        # scan pose by up to the search window. Fall back to the raw mean
+        # there (advisor finding, round 3).
+        updated = (t + 1) % args.update_every == 0
+        if args.mode == "slam" and args.scanmatch and updated:
             est_xy.append([float(state.est_pose.x), float(state.est_pose.y)])
-        elif refine_fn is not None and last_scan is not None:
+        elif refine_fn is not None and updated and last_scan is not None:
             r = refine_fn(mp, last_scan)
             est_xy.append([float(r.x), float(r.y)])
         else:

@@ -160,6 +160,13 @@ class MCLConfig:
     # Resample only when effective sample size falls below this fraction of N;
     # 1.0 resamples every update like the reference (`slam/mcl.cpp:232-239`).
     ess_threshold: float = 1.0
+    # Resample only on every k-th update (log weights accumulate across the
+    # skipped updates; the reference resamples every update). Unlike the ESS
+    # gate — which at 90 beams fires on ~every step anyway (measured,
+    # tools/slam_ess_throttle.py) — this skips the resample WORK
+    # unconditionally on the other k-1 steps. Composes with ess_threshold
+    # (resample when BOTH the modulo and the ESS condition hold).
+    resample_every: int = 1
     # Lidar mounting offset in the robot frame (`apps/grid_slam.cpp:99`
     # SCANNER_OFFSET = {0, 30, 0}).
     scanner_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -217,6 +224,20 @@ class ScanMatchConfig:
     # 0.68 px at 0.0, 0.42 px at 0.5, worse beyond (tools probe in
     # tests/test_scanmatch.py covers the bias bound).
     edt_offset: float = 0.5
+    # Coarse-to-fine (multi-resolution, the full Olson ICRA-2009 shape):
+    # when coarse_window > 0 a COARSE level first searches translations in
+    # [-coarse_window, +coarse_window] at stride coarse_stride (and
+    # headings over +-coarse_theta_halfwidth in coarse_theta_bins) against
+    # a stride-max-pooled score field (the pooling guarantees a block
+    # containing the true peak scores at least as high as the peak, so the
+    # strided argmax cannot skip it); the existing fine level then searches
+    # its full window around the coarse peak. Extends the capture range
+    # from `window` cells to coarse_window + window cells at ~2x, not
+    # (coarse_window/window)^2 x, the cost. 0 = single-level (default).
+    coarse_window: int = 0
+    coarse_stride: int = 4
+    coarse_theta_halfwidth: float = 0.25
+    coarse_theta_bins: int = 11
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,8 +253,9 @@ class SLAMConfig:
     # k-th scan (1 = every scan).
     map_every: int = 1
     # Optional correlative scan-matching refinement of the output pose
-    # estimate; when set, the refined pose also drives the map update
-    # (`SLAMState.est_pose` carries it either way).
+    # estimate (`SLAMState.est_pose` carries it). The refined pose drives
+    # the map update only when `ScanMatchConfig.mapping` is True (default
+    # False — measured worse closed-loop; see ScanMatchConfig.mapping).
     scanmatch: Optional[ScanMatchConfig] = None
 
 

@@ -192,7 +192,8 @@ def update(
     key, k_rs, k_inj = jax.random.split(state.key, 3)
 
     # Conditional resample on effective sample size (threshold 1.0 == always,
-    # the reference's behavior `slam/mcl.cpp:232-239`).
+    # the reference's behavior `slam/mcl.cpp:232-239`) AND the every-k
+    # throttle (cfg.resample_every; weights accumulate across skipped steps).
     ess = resample.effective_sample_size(log_weight)
     n = particles.n
 
@@ -201,9 +202,10 @@ def update(
             return resample_fn(k_rs, p)
         return resample.resample(k_rs, p, cfg.resample)
 
-    particles = jax.lax.cond(
-        ess <= cfg.ess_threshold * n, do_resample, lambda p: p, particles
-    )
+    do_it = ess <= cfg.ess_threshold * n
+    if cfg.resample_every > 1:
+        do_it = do_it & (state.step % cfg.resample_every == 0)
+    particles = jax.lax.cond(do_it, do_resample, lambda p: p, particles)
 
     log_w_slow, log_w_fast = state.log_w_slow, state.log_w_fast
     if cfg.adaptive is not None:

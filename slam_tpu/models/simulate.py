@@ -111,7 +111,8 @@ def run_localization(
         gt_pose = motion.sample_motion_model_odometry(
             k_gt, odom, gt_pose, cfg.motion.alphas
         )
-        if (t + 1) % update_every == 0:
+        updated = (t + 1) % update_every == 0
+        if updated:
             sp = sensor_pose(gt_pose, cfg.mcl.scanner_offset)
             scan = scan_fn(sp, k_scan)
             state = m.update(state, scan, field)
@@ -120,7 +121,10 @@ def run_localization(
         est_xy.append([float(mp.x), float(mp.y)])
         best_xy.append([float(state.best_pose.x), float(state.best_pose.y)])
         gt_xy.append([float(gt_pose.x), float(gt_pose.y)])
-        if refine_fn is not None and scan is not None:
+        # Refine only on UPDATE frames: between updates the latest scan is
+        # stale, and scoring the advanced mean pose against it drags the
+        # estimate back toward the old scan pose (advisor finding, round 3).
+        if refine_fn is not None and updated and scan is not None:
             r = refine_fn(mp, scan)
             sm_xy.append([float(r.x), float(r.y)])
         else:
@@ -207,7 +211,7 @@ def run_slam_deterministic(
     state = engine.init(start)
     gt = start
     odom = Odometry.create(rot / 2, trans, rot / 2)
-    est_mean, best_xy, gts = [], [], []
+    est_mean, best_xy, gts, sm_xy = [], [], [], []
     scan_fn = jax.jit(
         lambda pose: fake_lidar.scan(gt_blocked, pose, cfg.lidar, cfg.raycast)
     )
@@ -224,12 +228,14 @@ def run_slam_deterministic(
         best_xy.append(
             [float(state.mcl.best_pose.x), float(state.mcl.best_pose.y)]
         )
+        sm_xy.append([float(state.est_pose.x), float(state.est_pose.y)])
         gts.append([float(gt.x), float(gt.y)])
     return SimResult(
         est_xy=np.array(est_mean),
         best_xy=np.array(best_xy),
         gt_xy=np.array(gts),
         final_state=state,
+        sm_xy=np.array(sm_xy),
     )
 
 

@@ -44,6 +44,79 @@ from slam_tpu.core.types import Pose, Scan
 from slam_tpu.ops import measurement
 
 
+def _coarse_shift(
+    lfield2d, pose: Pose, scan: Scan, *, rc, cfg, scanner_offset, floor_val
+):
+    """Coarse level of the multi-resolution search (Olson ICRA-2009 section
+    IV.B): translations at stride `coarse_stride` over a wide window, scored
+    against a stride-MAX-POOLED score field. Pooling makes each strided
+    candidate an upper bound over its whole (stride x stride) block of
+    translations, so the coarse argmax cannot skip the block containing the
+    true peak; the fine level then resolves within the winning block.
+
+    Returns the coarsely-shifted ROBOT pose (same sensor->robot inverse
+    composition as the fine level)."""
+    import jax
+
+    h, w = lfield2d.shape
+    s = int(cfg.coarse_stride)
+    cw = int(cfg.coarse_window)
+    tc = int(cfg.coarse_theta_bins)
+    chalf = float(cfg.coarse_theta_halfwidth)
+    # pooled[i, j] = max lfield[i-s+1 .. i, j .. j+s-1]: the (dy, dx) block
+    # [dyc, dyc+s) x [dxc, dxc+s) maps cell (ib, jb) onto exactly that
+    # rectangle at (ib - dyc, jb + dxc) (+dx -> +j, +dy -> -i).
+    pooled = jax.lax.reduce_window(
+        lfield2d,
+        -jnp.inf,
+        jax.lax.max,
+        (s, s),
+        (1, 1),
+        ((s - 1, 0), (0, s - 1)),
+    ).reshape(-1)
+
+    tstep = 2.0 * chalf / max(tc - 1, 1)
+    sp = measurement.sensor_pose(pose, scanner_offset)
+    ts = sp.theta + (jnp.arange(tc, dtype=jnp.float32) - (tc - 1) / 2.0) * tstep
+    ang = ts[:, None] + scan.angles[None, :]  # [Tc, B]
+    ex = sp.x + scan.dists[None, :] * jnp.cos(ang)
+    ey = sp.y + scan.dists[None, :] * jnp.sin(ang)
+    ib, jb = gridlib.world_to_cell((h, w), ex, ey)  # [Tc, B]
+    valid = (scan.dists < rc.max_dist)[None, None, None, :]
+
+    off = jnp.arange(-cw, cw + 1, s, dtype=jnp.int32)
+    d = off.shape[0]
+    i_c = ib[:, None, None, :] - off[None, :, None, None]  # [Tc, dy, dx, B]
+    j_c = jb[:, None, None, :] + off[None, None, :, None]
+    inb = (i_c >= 0) & (i_c < h) & (j_c >= 0) & (j_c < w)
+    vals = jnp.where(
+        inb,
+        pooled[jnp.clip(i_c, 0, h - 1) * w + jnp.clip(j_c, 0, w - 1)],
+        floor_val,
+    )
+    score = jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)  # [Tc, Dy, Dx]
+
+    ctr_t = (jnp.arange(tc, dtype=jnp.float32) - (tc - 1) / 2.0) ** 2
+    ctr_w = (off.astype(jnp.float32) / s) ** 2
+    biased = score - 1e-6 * (
+        ctr_t[:, None, None] + ctr_w[None, :, None] + ctr_w[None, None, :]
+    )
+    t0, y0, x0 = jnp.unravel_index(jnp.argmax(biased), score.shape)
+
+    dtheta = (t0.astype(jnp.float32) - (tc - 1) / 2.0) * tstep
+    # Block CENTER: the winning block covers offsets [o, o+s); hand the fine
+    # level its middle so the residual |true - center| <= s/2 < fine window.
+    dy_w = (y0 * s - cw).astype(jnp.float32) + (s - 1) / 2.0
+    dx_w = (x0 * s - cw).astype(jnp.float32) + (s - 1) / 2.0
+
+    dist, th, rot = measurement.scanner_displacement(scanner_offset)
+    theta_s = sp.theta + dtheta
+    theta_r = theta_s - rot
+    x_r = sp.x + dx_w - jnp.cos(theta_r + th) * dist
+    y_r = sp.y + dy_w - jnp.sin(theta_r + th) * dist
+    return Pose(x=x_r, y=y_r, theta=theta_r)
+
+
 def _peak_delta(s_minus, s_0, s_plus):
     """Sub-sample offset of a quadratic through three samples, in [-.5, .5].
     Zero when the triple is not concave (flat/degenerate surfaces)."""
@@ -82,14 +155,26 @@ def refine_pose(
     h, w = edt.shape
     # Score |edt - edt_offset|: endpoints belong on wall faces, not wall
     # cell centers (see ScanMatchConfig.edt_offset).
-    lfield = measurement.lf_log_score_field(
+    lfield2d = measurement.lf_log_score_field(
         jnp.abs(edt - cfg.edt_offset),
         stddev=stddev,
         z_hit=z_hit,
         z_rand=z_rand,
         max_dist=rc.max_dist,
-    ).reshape(-1)
+    )
+    lfield = lfield2d.reshape(-1)
     floor_val = float(math.log(max(z_rand / rc.max_dist, 1e-30)))
+
+    if cfg.coarse_window > 0:
+        pose = _coarse_shift(
+            lfield2d,
+            pose,
+            scan,
+            rc=rc,
+            cfg=cfg,
+            scanner_offset=scanner_offset,
+            floor_val=floor_val,
+        )
 
     t = int(cfg.theta_bins)
     half = float(cfg.theta_halfwidth)

@@ -139,6 +139,19 @@ class MapShardedGridSLAM:
     the block-local scatter replaces the map update."""
 
     def __init__(self, mesh: Mesh, cfg: SLAMConfig):
+        if cfg.scanmatch is not None:
+            # The correlative refinement needs a replicated likelihood-field
+            # EDT of the WHOLE map — exactly the per-device map footprint
+            # this engine exists to avoid. Reject loudly instead of silently
+            # pinning est_pose to the best particle (the particle-sharded
+            # engine honors cfg.scanmatch; same config must not silently
+            # behave differently per engine).
+            raise ValueError(
+                "MapShardedGridSLAM does not support SLAMConfig.scanmatch: "
+                "the refinement requires a replicated full-map EDT, which "
+                "defeats map-block sharding. Use ShardedGridSLAM (particle "
+                "sharding) for scan-matched estimates, or unset scanmatch."
+            )
         self.mesh = mesh
         self.cfg = cfg
         rfn = sharded_mod._resample_fn(mesh, cfg.mcl)

@@ -1068,7 +1068,12 @@ class HybridAStar:
             self._warn_if_overflowed()
         return self.success
 
-    def solve_many(self, queries, max_rounds: Optional[int] = None):
+    def solve_many(
+        self,
+        queries,
+        max_rounds: Optional[int] = None,
+        query_sharding=None,
+    ):
         """Solve Q independent (start, goal) queries in one device program
         (lattice mode only): states advance in lockstep, so the per-round
         device floor amortizes across the fleet. Returns a list of
@@ -1078,6 +1083,12 @@ class HybridAStar:
         The reference replans one mouse query at a time
         (`apps/hastar_planner.cpp:50-117`); a robot fleet sharing one map is
         the workload where a TPU planner earns its keep.
+
+        `query_sharding` (optional `jax.sharding.Sharding`, e.g.
+        `NamedSharding(mesh, P('p'))`) pins the stacked query axis to a
+        device mesh: Q must divide by the axis size; the steering/feasibility
+        tables stay replicated and the queries solve embarrassingly parallel
+        (no cross-query collectives).
         """
         if self.cfg.mode != "lattice":
             raise ValueError("solve_many requires mode='lattice'")
@@ -1091,6 +1102,13 @@ class HybridAStar:
             tbins.append(self._target_bin)
             hfields.append(self._hfield)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        goals_q = jnp.stack(goals)
+        tbins_q = jnp.stack(tbins)
+        hfields_q = jnp.stack(hfields)
+        if query_sharding is not None:
+            stacked, goals_q, tbins_q, hfields_q = jax.device_put(
+                (stacked, goals_q, tbins_q, hfields_q), query_sharding
+            )
         out = _lattice_solve_many_jit(
             stacked,
             self._lat_feas,
@@ -1099,9 +1117,9 @@ class HybridAStar:
             self._lat_dj,
             self._lat_cost,
             self._lat_edge,
-            jnp.stack(goals),
-            jnp.stack(tbins),
-            jnp.stack(hfields),
+            goals_q,
+            tbins_q,
+            hfields_q,
             jnp.int32(max_rounds),
             self.cfg,
             self.shape,

@@ -71,9 +71,22 @@ class CheckpointManager:
 
     def restore(self, template: Any, step: int | None = None) -> Any:
         step = self._mgr.latest_step() if step is None else step
-        raw = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_unkey(template))
-        )
+        try:
+            raw = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(_unkey(template))
+            )
+        except (ValueError, KeyError) as e:
+            # Orbax raises an opaque structure-mismatch error when the saved
+            # pytree predates a state-format change (e.g. SLAMState.est_pose
+            # and the NaN-initialized MCL EMAs added after round 2 — see
+            # PARITY.md "checkpoint format"). Surface the actionable cause.
+            raise ValueError(
+                f"checkpoint at step {step} does not match the current state "
+                "structure — it likely predates a SLAMState/MCLState format "
+                "change (est_pose / adaptive EMAs). Delete the checkpoint "
+                "directory to start fresh, or restore with the matching "
+                f"older code. Underlying error: {e}"
+            ) from e
         return _rekey(raw, template)
 
     def close(self):

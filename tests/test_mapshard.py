@@ -141,3 +141,24 @@ def test_map_sharded_slam_matches_single_device():
     )
     # The grid really is sharded in row blocks.
     assert st.grid.sharding.shard_shape((H, W))[0] == H // 4
+
+
+def test_map_sharded_rejects_scanmatch():
+    """MapShardedGridSLAM must reject SLAMConfig.scanmatch loudly (the
+    refinement needs a replicated full-map EDT — exactly what map-block
+    sharding avoids), not silently pin est_pose to the best particle
+    while the particle-sharded engine honors the same config."""
+    import pytest as _pytest
+
+    from slam_tpu.core.config import ScanMatchConfig
+    from slam_tpu.parallel import make_mesh
+    from slam_tpu.parallel.mapshard import MapShardedGridSLAM
+
+    cfg = SLAMConfig(
+        mcl=MCLConfig(n_particles=16),
+        map=MapConfig(height=64, width=64),
+        scanmatch=ScanMatchConfig(),
+    )
+    mesh = make_mesh(8, beam_axis=2)
+    with _pytest.raises(ValueError, match="scanmatch"):
+        MapShardedGridSLAM(mesh, cfg)

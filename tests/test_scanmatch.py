@@ -244,3 +244,59 @@ class TestSLAMIntegration:
         np.testing.assert_allclose(
             float(st.est_pose.y), float(st.mcl.best_pose.y)
         )
+
+
+class TestCoarseToFine:
+    @pytest.mark.parametrize(
+        "dx,dy,dth",
+        [(14.0, -11.0, 0.12), (-15.0, 8.0, -0.18), (12.0, 13.0, 0.0)],
+    )
+    def test_recovers_beyond_fine_window(self, dx, dy, dth):
+        """Seeds displaced far beyond the single-level window (+-5 cells,
+        +-0.06 rad) recover once the coarse level (stride-max-pooled wide
+        search) runs first."""
+        blocked, field = room_field()
+        true = Pose.create(52.0, 47.0, 0.8)
+        scan, rc = room_scan(blocked, true)
+        seed = Pose.create(true.x + dx, true.y + dy, true.theta + dth)
+        cfg = ScanMatchConfig(coarse_window=20)
+        refined, _ = scanmatch.refine_pose(
+            field, seed, scan, rc=rc, cfg=cfg, stddev=STDDEV
+        )
+        assert abs(float(refined.x) - 52.0) < 1.0
+        assert abs(float(refined.y) - 47.0) < 1.0
+        assert abs(float(refined.theta) - 0.8) < 0.03
+
+    def test_single_level_fails_far_seed(self):
+        """Control: the same far seed does NOT recover single-level (the
+        fine window cannot reach it) — the coarse level is load-bearing."""
+        blocked, field = room_field()
+        true = Pose.create(52.0, 47.0, 0.8)
+        scan, rc = room_scan(blocked, true)
+        seed = Pose.create(true.x + 14.0, true.y - 11.0, true.theta + 0.12)
+        refined, _ = scanmatch.refine_pose(
+            field, seed, scan, rc=rc, stddev=STDDEV
+        )
+        err = abs(float(refined.x) - 52.0) + abs(float(refined.y) - 47.0)
+        assert err > 5.0
+
+    def test_near_seed_matches_single_level(self):
+        """With a near seed the coarse level must hand the fine level a
+        block whose refinement lands within a cell of the single-level
+        result (no regression when the coarse stage isn't needed)."""
+        blocked, field = room_field()
+        true = Pose.create(52.0, 47.0, 0.8)
+        scan, rc = room_scan(blocked, true)
+        seed = Pose.create(true.x + 1.5, true.y - 1.0, true.theta + 0.02)
+        r1, _ = scanmatch.refine_pose(field, seed, scan, rc=rc, stddev=STDDEV)
+        r2, _ = scanmatch.refine_pose(
+            field,
+            seed,
+            scan,
+            rc=rc,
+            cfg=ScanMatchConfig(coarse_window=20),
+            stddev=STDDEV,
+        )
+        assert abs(float(r1.x) - float(r2.x)) < 1.0
+        assert abs(float(r1.y) - float(r2.y)) < 1.0
+        assert abs(float(r1.theta) - float(r2.theta)) < 0.02

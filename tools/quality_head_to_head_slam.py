@@ -1,53 +1,122 @@
 #!/usr/bin/env python
-"""Head-to-head trajectory quality vs the C++ reference.
+"""Head-to-head trajectory quality vs the C++ reference — SLAM mode.
 
 Run `tools/refbench/build.sh`, then
-`.build/ref_mcl_traj <map> 200 120 2.5 0.02 > /tmp/ref_traj.jsonl`, then this
-script: it replays the identical deterministic trajectory and exact-DDA scans
-through the slam_tpu filter and prints both implementations' ATE. See
-RESULTS.md for recorded numbers.
+`.build/ref_mcl_traj <map> 200 120 2.5 0.02 > /tmp/ref_traj.jsonl` (several
+times — the reference RNG is clock-seeded), then this script: it replays the
+identical 120-step deterministic trajectory and exact-DDA scans
+(`tools/refbench/ref_mcl_traj.cpp`; init convention `slam/mcl.cpp:22-39`)
+through slam_tpu grid SLAM in BOTH configurations and prints each ATE:
+
+  * parity   — 200 particles, march backend, beam measurement, mean pose
+               (the configuration of the original recorded comparison);
+  * flagship — likelihood_field_table measurement + correlative scan-matched
+               `est_pose` (the round-3 fast path), at 200 and --flagship-n
+               particles.
+
+    python tools/quality_head_to_head_slam.py [ref_traj.jsonl] [--tpu]
+        [--flagship-n 10000] [--steps 120]
+
+CPU by default (deterministic, matches the C++ machine); --tpu runs the
+flagship configs on the chip (the parity config stays CPU-comparable).
 """
 
+import argparse
+import dataclasses
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax
 
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp, numpy as np
-from slam_tpu.core.config import *
-from slam_tpu.core.types import Odometry, Pose
-from slam_tpu.models import fake_lidar, slam as slam_mod, mcl as mcl_mod
-from slam_tpu.ops.measurement import sensor_pose
-from slam_tpu.utils.maps import load_binary_map
-from slam_tpu.utils.metrics import ate_rmse
 
-ref = [json.loads(l) for l in open(sys.argv[1] if len(sys.argv) > 1 else '/tmp/ref_traj.jsonl')]
-blocked = jnp.asarray(load_binary_map('/root/reference/assets/floor_plan.png') == 0)
-h, w = blocked.shape
-cfg = SLAMConfig(
-    mcl=MCLConfig(n_particles=200, meas_stddev=5.0, scanner_offset=(0.,30.,0.)),
-    map=MapConfig(height=h, width=w),
-    lidar=LidarConfig(start=0.0, stop=2*np.pi, max_dist=500.0, n_rays=90),
-    motion=MotionConfig(alphas=(5e-4,5e-4,1e-2,1e-2)),
-    raycast=RaycastConfig(step=0.5, max_dist=500.0, backend="march"),
-)
-engine = slam_mod.GridSLAM(cfg, seed=0)
-start = Pose.create(w/2.0, h/2.0, np.pi/2)
-state = engine.init(start)
-gt = start
-est_mean, gts = [], []
-odom = Odometry.create(0.01, 2.5, 0.01)
-for t in range(len(ref)):
-    th1 = gt.theta + 0.01
-    gt = Pose.create(gt.x + 2.5*jnp.cos(th1), gt.y + 2.5*jnp.sin(th1), th1 + 0.01)
-    sp = sensor_pose(gt, cfg.mcl.scanner_offset)
-    scan = fake_lidar.scan(blocked, sp, cfg.lidar, cfg.raycast)
-    state = engine.step(state, odom, scan)
-    mp = mcl_mod.mean_pose(state.mcl)
-    est_mean.append([float(mp.x), float(mp.y)])
-    gts.append([float(gt.x), float(gt.y)])
-print("ours SLAM-mode (unknown map, shared grid) ATE (mean):",
-      round(ate_rmse(np.array(est_mean), np.array(gts)), 2))
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ref", nargs="?", default="/tmp/ref_traj.jsonl",
+                    help="reference trajectory jsonl (for its length + ATE)")
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--flagship-n", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override step count (default: the ref file's)")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MapConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        ScanMatchConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.models.simulate import run_slam_deterministic
+    from slam_tpu.utils.maps import load_binary_map
+    from slam_tpu.utils.metrics import ate_rmse
+
+    n_steps = args.steps or 120
+    ref_ate = None
+    if os.path.exists(args.ref):
+        ref = [json.loads(l) for l in open(args.ref)]
+        n_steps = args.steps or len(ref)
+        g = np.array([r["gt"][:2] for r in ref])
+        ref_ate = ate_rmse(np.array([r["mean"] for r in ref]), g)
+        print(f"C++ reference RBPF (this file) ATE: {ref_ate:.2f} px")
+
+    blocked = jnp.asarray(
+        load_binary_map("/root/reference/assets/floor_plan.png") == 0
+    )
+    h, w = blocked.shape
+
+    def cfg_for(n, flagship):
+        mcl = MCLConfig(
+            n_particles=n,
+            meas_stddev=5.0,
+            scanner_offset=(0.0, 30.0, 0.0),
+            measurement="likelihood_field_table" if flagship else "beam",
+        )
+        return SLAMConfig(
+            mcl=mcl,
+            map=MapConfig(height=h, width=w),
+            lidar=LidarConfig(start=0.0, stop=2 * np.pi, max_dist=500.0,
+                              n_rays=90),
+            motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+            raycast=RaycastConfig(
+                step=0.5 if not flagship else 1.0,
+                max_dist=500.0,
+                backend="sdf" if flagship else "march",
+            ),
+            scanmatch=ScanMatchConfig() if flagship else None,
+        )
+
+    runs = [
+        ("parity_200 (march+beam, mean pose)", cfg_for(200, False), "mean"),
+        ("flagship_200 (lf_table + scanmatch est_pose)",
+         cfg_for(200, True), "sm"),
+        (f"flagship_{args.flagship_n} (lf_table + scanmatch est_pose)",
+         cfg_for(args.flagship_n, True), "sm"),
+    ]
+    for name, cfg, which in runs:
+        res = run_slam_deterministic(blocked, cfg, n_steps, 2.5, 0.02)
+        traj = res.est_xy if which == "mean" else res.sm_xy
+        ate = ate_rmse(traj, res.gt_xy)
+        ate_mean = ate_rmse(res.est_xy, res.gt_xy)
+        rec = {
+            "metric": f"h2h_slam_ate_px_{name.split(' ')[0]}",
+            "value": round(float(ate), 2),
+            "unit": "px",
+            "mean_pose_ate_px": round(float(ate_mean), 2),
+        }
+        if ref_ate is not None:
+            rec["vs_cpp_px"] = round(float(ref_ate), 2)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
