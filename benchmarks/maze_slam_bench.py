@@ -27,6 +27,14 @@ def main():
     ap.add_argument("--particles", type=int, default=10_000)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--map", default="/root/reference/assets/maze.png")
+    ap.add_argument(
+        "--measurement",
+        default="likelihood_field",
+        help="comma list to A/B measurement tiers in ONE process (drift "
+        "control): e.g. likelihood_field,likelihood_field_table — at "
+        "2354x2464 the [T,H,W] table is ~0.8 GB per rebuild, so the "
+        "100k-proven table tier is not obviously the big-map winner",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -62,66 +70,65 @@ def main():
     h, w = blocked.shape
 
     lidar = LidarConfig(start=0.0, stop=2 * np.pi, max_dist=500.0, n_rays=90)
-    cfg = SLAMConfig(
-        mcl=MCLConfig(
-            n_particles=args.particles,
-            meas_stddev=5.0,
-            measurement="likelihood_field",
-        ),
-        map=MapConfig(height=h, width=w),
-        lidar=lidar,
-        motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
-        raycast=RaycastConfig(step=1.0, max_dist=500.0, backend="sdf"),
-    )
-    engine = slam_mod.GridSLAM(cfg, seed=0)
 
     def fence(x):
         np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
 
     sx, sy = find_start(blocked_np)
-    gt = Pose.create(sx, sy, 0.9)
-    state = engine.init(gt)
     odom = Odometry.create(0.02, 2.0, 0.02)
-    key = jax.random.key(3)
 
-    est, gts = [], []
-    t_meas = 0.0
-    for t in range(args.steps):
-        key, kgt = jax.random.split(key)
-        gt = motion.sample_motion_model_odometry(
-            kgt, odom, gt, jnp.asarray(cfg.motion.alphas)
+    for meas in args.measurement.split(","):
+        cfg = SLAMConfig(
+            mcl=MCLConfig(
+                n_particles=args.particles,
+                meas_stddev=5.0,
+                measurement=meas,
+            ),
+            map=MapConfig(height=h, width=w),
+            lidar=lidar,
+            motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+            raycast=RaycastConfig(step=1.0, max_dist=500.0, backend="sdf"),
         )
-        sp = sensor_pose(gt, cfg.mcl.scanner_offset)
-        scan = fake_lidar.scan(
-            blocked, sp, lidar, RaycastConfig(max_dist=500.0)
-        )
-        t0 = time.perf_counter()
-        state = engine.step(state, odom, scan)
-        fence(state.mcl.particles.log_weight)
-        if t >= 2:
-            t_meas += time.perf_counter() - t0
-        mp = mcl_mod.mean_pose(state.mcl)
-        est.append([float(mp.x), float(mp.y)])
-        gts.append([float(gt.x), float(gt.y)])
+        engine = slam_mod.GridSLAM(cfg, seed=0)
+        gt = Pose.create(sx, sy, 0.9)
+        state = engine.init(gt)
+        key = jax.random.key(3)
 
-    ate = ate_rmse(np.asarray(est), np.asarray(gts))
-    per = t_meas / max(1, args.steps - 2)
-    print(json.dumps({
-        "metric": f"maze_slam_step_ms_{args.particles}",
-        "value": round(per * 1e3, 2),
-        "unit": "ms",
-    }))
-    print(json.dumps({
-        "metric": "maze_slam_ate_px",
-        "value": round(float(ate), 2),
-        "unit": "px",
-    }))
-    print(
-        f"# maze SLAM {h}x{w}: {args.particles} particles x {args.steps} "
-        f"steps, {per*1e3:.0f} ms/step ({1/per:.1f} Hz), ATE {ate:.2f}px "
-        f"on {jax.devices()[0].device_kind}",
-        file=sys.stderr,
-    )
+        est, gts = [], []
+        t_meas = 0.0
+        for t in range(args.steps):
+            key, kgt = jax.random.split(key)
+            gt = motion.sample_motion_model_odometry(
+                kgt, odom, gt, jnp.asarray(cfg.motion.alphas)
+            )
+            sp = sensor_pose(gt, cfg.mcl.scanner_offset)
+            scan = fake_lidar.scan(
+                blocked, sp, lidar, RaycastConfig(max_dist=500.0)
+            )
+            t0 = time.perf_counter()
+            state = engine.step(state, odom, scan)
+            fence(state.mcl.particles.log_weight)
+            if t >= 2:
+                t_meas += time.perf_counter() - t0
+            mp = mcl_mod.mean_pose(state.mcl)
+            est.append([float(mp.x), float(mp.y)])
+            gts.append([float(gt.x), float(gt.y)])
+
+        ate = ate_rmse(np.asarray(est), np.asarray(gts))
+        per = t_meas / max(1, args.steps - 2)
+        print(json.dumps({
+            "metric": f"maze_slam_step_ms_{args.particles}",
+            "measurement": meas,
+            "value": round(per * 1e3, 2),
+            "unit": "ms",
+            "ate_px": round(float(ate), 2),
+        }), flush=True)
+        print(
+            f"# maze SLAM {h}x{w} [{meas}]: {args.particles} particles x "
+            f"{args.steps} steps, {per*1e3:.0f} ms/step ({1/per:.1f} Hz), "
+            f"ATE {ate:.2f}px on {jax.devices()[0].device_kind}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

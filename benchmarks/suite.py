@@ -291,7 +291,8 @@ def main():
     ap.add_argument("--hastar-tres", type=int, default=None)
     ap.add_argument("--hastar-reps", type=int, default=None)
     ap.add_argument("--hastar-hweight", type=float, default=None)
-    ap.add_argument("--rrt-batch", type=int, default=512)
+    ap.add_argument("--rrt-batch", type=int, default=256)  # b256 beats b512
+                    # on-chip (94-104 vs 144-171 ms, tools/rrtstar_ab.py r4)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

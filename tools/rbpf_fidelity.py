@@ -27,6 +27,7 @@ ap.add_argument("--particles", type=int, default=1000)
 ap.add_argument("--steps", type=int, default=120)
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--map", default="/root/reference/assets/floor_plan.png")
+ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--json", action="store_true",
                 help="emit one machine-readable JSON line (for pytest -m fidelity)")
 args = ap.parse_args()
@@ -57,7 +58,7 @@ cfg = MCLConfig(
 rc = RaycastConfig(step=0.5, max_dist=500.0, backend="march")
 lidar = LidarConfig(start=0.0, stop=2 * np.pi, max_dist=500.0, n_rays=90)
 
-engine = rbpf.RBPF(cfg, rc, seed=0)
+engine = rbpf.RBPF(cfg, rc, seed=args.seed)
 start = Pose.create(w / 2.0, h / 2.0, np.pi / 2)
 state = engine.init(start, (h, w))
 
