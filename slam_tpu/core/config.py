@@ -167,6 +167,14 @@ class MCLConfig:
     # unconditionally on the other k-1 steps. Composes with ess_threshold
     # (resample when BOTH the modulo and the ESS condition hold).
     resample_every: int = 1
+    # Temperature of the sharpened weighted-mean estimate
+    # (`MCLState.mode_pose`: softmax(tau * log_w) weights, pre-resample).
+    # tau=1 is the plain weighted mean, tau -> inf approaches the best
+    # particle; intermediate tau averages over the posterior mode only —
+    # immune both to the argmax's selection noise at small N (and its
+    # arbitrariness under uniform weights) and to the mean's ridge-shrinkage
+    # bias on curved posteriors.
+    mode_tau: float = 8.0
     # Lidar mounting offset in the robot frame (`apps/grid_slam.cpp:99`
     # SCANNER_OFFSET = {0, 30, 0}).
     scanner_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -252,6 +260,17 @@ class SLAMConfig:
     # Map update throttling: update the map from the estimated pose every
     # k-th scan (1 = every scan).
     map_every: int = 1
+    # Which pose estimate drives the shared-map update: "best" (default —
+    # the reference keeps the best particle's map, `slam/mcl.cpp:236-238`;
+    # since round 4 the argmax falls back to the sharpened mean whenever the
+    # measurement is uninformative, fixing the empty-map first update's
+    # arbitrary-particle gauge error), "mean" (post-resample circular mean),
+    # or "mode" (`MCLState.mode_pose`, the tau-sharpened pre-resample
+    # weighted mean). Measured (RESULTS.md round 4): "best" wins at large N
+    # and on short arcs (argmax noise ~ 0); "mean" is the most robust on
+    # long low-N arcs (no catastrophic seeds) but pays ridge-shrinkage bias
+    # at large N (100k own-arc table: 3.96 best vs 7.77 mean).
+    map_pose: str = "best"
     # Optional correlative scan-matching refinement of the output pose
     # estimate (`SLAMState.est_pose` carries it). The refined pose drives
     # the map update only when `ScanMatchConfig.mapping` is True (default

@@ -38,6 +38,15 @@ class MCLState:
     key: jax.Array
     # Best particle (by pre-resample weight) after the latest update.
     best_pose: Pose
+    # Temperature-sharpened weighted circular mean (softmax(tau * log_w),
+    # PRE-resample): interpolates between the weighted mean (tau=1) and the
+    # best particle (tau -> inf). The mean suffers ridge-shrinkage bias when
+    # the posterior curves (it averages OFF the ridge); the argmax suffers
+    # selection noise at small N (and is ARBITRARY under uniform weights —
+    # the empty-map first SLAM update). The sharpened mean has neither
+    # failure: under uniform weights it is the prior mean, converged it is
+    # a local average over the mode. `MCLConfig.mode_tau` sets tau.
+    mode_pose: Pose
     # Augmented-MCL likelihood EMAs, in log space.
     log_w_slow: jax.Array
     log_w_fast: jax.Array
@@ -55,6 +64,7 @@ def init(key, n_particles: int, pose: Pose) -> MCLState:
         particles=Particles.uniform_at(pose, n_particles),
         key=key,
         best_pose=pose,
+        mode_pose=pose,
         # NaN = "no update seen yet": the adaptive-injection EMAs warm-start
         # from the first observed average likelihood (see `update`).
         log_w_slow=jnp.float32(jnp.nan),
@@ -187,6 +197,29 @@ def update(
     best_pose = jax.tree.map(
         lambda a: jnp.sum(jnp.where(best_sel, a, 0.0)), state.particles.pose
     )
+    # Sharpened weighted circular mean (see MCLState.mode_pose). Reductions
+    # only — psum-friendly on a sharded particle axis like best_pose above.
+    wm = jax.nn.softmax(log_weight * cfg.mode_tau)
+    pp = state.particles.pose
+    mode_pose = Pose(
+        x=jnp.sum(wm * pp.x),
+        y=jnp.sum(wm * pp.y),
+        theta=jnp.arctan2(
+            jnp.sum(wm * jnp.sin(pp.theta)), jnp.sum(wm * jnp.cos(pp.theta))
+        ),
+    )
+    # Under an UNINFORMATIVE measurement (all beams score identically — the
+    # SLAM-mode first update against an empty grid, where every endpoint
+    # reads the z_rand floor) the argmax is an arbitrary particle; mapping
+    # from it bakes one random motion-noise draw (~0.05-0.1 rad of heading)
+    # into the shared map's gauge permanently (measured: the 120-step
+    # deterministic arc's worst seeds, RESULTS.md round 4). Fall back to the
+    # sharpened mean, which under uniform weights is the prior mean
+    # (error ~noise/sqrt(N)).
+    informative = jnp.ptp(lw) > 1e-6
+    best_pose = jax.tree.map(
+        lambda b, m: jnp.where(informative, b, m), best_pose, mode_pose
+    )
     particles = state.particles.replace(log_weight=log_weight)
 
     key, k_rs, k_inj = jax.random.split(state.key, 3)
@@ -244,6 +277,7 @@ def update(
         particles=particles,
         key=key,
         best_pose=best_pose,
+        mode_pose=mode_pose,
         log_w_slow=log_w_slow,
         log_w_fast=log_w_fast,
     )

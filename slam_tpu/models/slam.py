@@ -87,10 +87,23 @@ def step(
         resample_fn=resample_fn,
     )
 
-    # Map from the best particle's pose (the reference renders/keeps the best
-    # particle's map, `slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`),
-    # correlatively refined first when configured.
-    est_pose = map_pose = st.best_pose
+    # Map from the weighted-mean pose by default (`SLAMConfig.map_pose`):
+    # the reference keeps the best PARTICLE's map (`slam/mcl.cpp:236-238`,
+    # `apps/grid_slam.cpp:112`), but each reference particle owns a
+    # self-consistent map; in the shared-map redesign the first update's
+    # weights are uniform (empty grid scores the z_rand floor everywhere)
+    # and the argmax particle is arbitrary — mapping from it bakes a random
+    # heading draw into the map gauge (measured 11.3 -> 2.5 px on the
+    # 120-step deterministic arc; RESULTS.md round 4). The OUTPUT estimate
+    # stays the best particle (refined below when configured) for reference
+    # parity.
+    est_pose = st.best_pose
+    if cfg.map_pose == "mean":
+        map_pose = mcl_mod.mean_pose(st)
+    elif cfg.map_pose == "mode":
+        map_pose = st.mode_pose
+    else:
+        map_pose = st.best_pose
     if cfg.scanmatch is not None:
         from slam_tpu.ops import scanmatch
 

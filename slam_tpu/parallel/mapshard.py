@@ -193,8 +193,14 @@ class MapShardedGridSLAM:
                 resample_fn=rfn,
                 measurement_fn=functools.partial(measurement, state.grid),
             )
+            if cfg.map_pose == "mean":
+                map_pose = mcl_mod.mean_pose(st)
+            elif cfg.map_pose == "mode":
+                map_pose = st.mode_pose
+            else:
+                map_pose = st.best_pose
             new_grid = scan_logodds_update_sharded(
-                mesh, state.grid, st.best_pose, scan, cfg=cfg
+                mesh, state.grid, map_pose, scan, cfg=cfg
             )
             do_map = (st.step % cfg.map_every) == 0
             new_grid = jnp.where(do_map, new_grid, state.grid)

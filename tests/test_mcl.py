@@ -294,3 +294,39 @@ def test_slam_with_lf_table_measurement():
     )
     ate = ate_rmse(res.est_xy, res.gt_xy)
     assert ate < 8.0, f"SLAM+LF-table ATE {ate}"
+
+
+def test_first_update_uninformative_fallback():
+    """The first SLAM update runs against an EMPTY grid: every particle
+    scores the z_rand floor, argmax-of-uniform-weights is an arbitrary
+    particle, and mapping from it bakes one random motion-noise heading
+    draw into the shared map's gauge (measured -0.049 rad at t=0 and
+    11-31 px of 120-step arc ATE; RESULTS.md round 4). best_pose must fall
+    back to the sharpened weighted mean (MCLState.mode_pose) whenever the
+    measurement is uninformative — under uniform weights, the prior mean."""
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+
+    h = w = 128
+    cfg = SLAMConfig(
+        mcl=MCLConfig(n_particles=64, measurement="likelihood_field_table"),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(n_rays=30, max_dist=100.0),
+        raycast=RaycastConfig(max_dist=100.0, backend="sdf"),
+    )
+    engine = slam_mod.GridSLAM(cfg, seed=0)
+    start = Pose.create(64.0, 64.0, 0.5)
+    state = engine.init(start)
+    blocked = jnp.zeros((h, w), bool).at[10, :].set(True)
+    scan = fake_lidar.scan(blocked, start, cfg.lidar, cfg.raycast)
+    st1 = engine.step(state, Odometry.create(0.02, 2.0, 0.02), scan)
+
+    # Fallback fired: best_pose == mode_pose exactly...
+    for b, m in zip(
+        jax.tree.leaves(st1.mcl.best_pose), jax.tree.leaves(st1.mcl.mode_pose)
+    ):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(m))
+    # ...and it is a MEAN, not any single particle's pose (the pre-round-4
+    # behavior picked an arbitrary particle here).
+    assert not bool(
+        jnp.any(st1.mcl.particles.pose.x == st1.mcl.best_pose.x)
+    )

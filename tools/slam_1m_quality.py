@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--table-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--map-pose", default="mean,best",
+                    help="comma list: SLAMConfig.map_pose values to A/B")
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--measurements",
+                    default="likelihood_field,likelihood_field_table")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -61,29 +66,34 @@ def main():
     commands = simulate.forward_arc_commands(args.steps, trans=2.5, rot=0.04)
 
     out = {}
-    for meas in ("likelihood_field", "likelihood_field_table"):
-        cfg = SLAMConfig(
-            mcl=MCLConfig(
-                n_particles=args.particles,
-                meas_stddev=5.0,
-                measurement=meas,
-                lf_table_dtype=args.table_dtype,
-            ),
-            lidar=lidar,
-            motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
-            raycast=rc,
-        )
-        res = simulate.run_slam(blocked, cfg, commands, pose, seed=0)
-        ate = float(ate_rmse(res.est_xy, res.gt_xy))
-        out[meas] = round(ate, 3)
-        print(f"# {meas}: ATE {ate:.2f} px over {args.steps} steps "
-              f"at N={args.particles}", file=sys.stderr)
+    for meas in args.measurements.split(","):
+        for mp in args.map_pose.split(","):
+            ates = []
+            for seed in range(args.seeds):
+                cfg = SLAMConfig(
+                    mcl=MCLConfig(
+                        n_particles=args.particles,
+                        meas_stddev=5.0,
+                        measurement=meas,
+                        lf_table_dtype=args.table_dtype,
+                    ),
+                    lidar=lidar,
+                    motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+                    raycast=rc,
+                    map_pose=mp,
+                )
+                res = simulate.run_slam(blocked, cfg, commands, pose,
+                                        seed=seed)
+                ates.append(float(ate_rmse(res.est_xy, res.gt_xy)))
+            out[f"{meas}/{mp}"] = [round(a, 3) for a in ates]
+            print(f"# {meas} map_pose={mp}: ATE "
+                  f"{[round(a, 2) for a in ates]} px over {args.steps} "
+                  f"steps at N={args.particles}", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": f"slam_quality_ate_px_{args.particles // 1000}k",
-        "value": out["likelihood_field_table"],
         "unit": "px",
-        "direct_lf_ate_px": out["likelihood_field"],
+        "results": out,
         "steps": args.steps,
         "table_dtype": args.table_dtype,
     }))
