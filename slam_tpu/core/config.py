@@ -101,8 +101,17 @@ class MapConfig:
 
     height: int = 1000
     width: int = 1000
-    l_occ: float = 0.85  # log-odds increment for an occupied observation
-    l_free: float = -0.4  # log-odds increment for a free observation
+    # Log-odds increments per observation. Softer increments (these halved
+    # defaults, round 4) keep the map PLASTIC: early scans mapped from a
+    # slightly-wrong estimate can be re-carved by later better-anchored
+    # ones instead of locking the gauge in. Measured on the 120-step
+    # deterministic arc at 200 particles (3 seeds): 0.85/-0.4 ->
+    # 12.6/12.9/1.6 px (mean 9.0); 0.42/-0.2 -> 3.2/13.9/2.9 (mean 6.6);
+    # 0.21/-0.1 -> 11.8/15.3/2.1 (worse — too slow to commit walls).
+    # Short-arc / large-N closed-loop ATE is unchanged by the halving
+    # (100k own-arc table: 3.94/3.65 vs 3.96/3.65). RESULTS.md round 4.
+    l_occ: float = 0.42  # log-odds increment for an occupied observation
+    l_free: float = -0.2  # log-odds increment for a free observation
     l_min: float = -6.0
     l_max: float = 6.0
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--table-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--map-pose", default="mean,best",
                     help="comma list: SLAMConfig.map_pose values to A/B")
+    ap.add_argument("--l-occ", type=float, default=None,
+                    help="override MapConfig.l_occ (map plasticity A/B)")
+    ap.add_argument("--l-free", type=float, default=None)
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--measurements",
                     default="likelihood_field,likelihood_field_table")
@@ -70,6 +73,13 @@ def main():
         for mp in args.map_pose.split(","):
             ates = []
             for seed in range(args.seeds):
+                from slam_tpu.core.config import MapConfig
+
+                map_kw = {}
+                if args.l_occ is not None:
+                    map_kw["l_occ"] = args.l_occ
+                if args.l_free is not None:
+                    map_kw["l_free"] = args.l_free
                 cfg = SLAMConfig(
                     mcl=MCLConfig(
                         n_particles=args.particles,
@@ -77,6 +87,7 @@ def main():
                         measurement=meas,
                         lf_table_dtype=args.table_dtype,
                     ),
+                    map=MapConfig(**map_kw),
                     lidar=lidar,
                     motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
                     raycast=rc,
