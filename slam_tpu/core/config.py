@@ -155,6 +155,16 @@ class MCLConfig:
     lf_table_bins: int = 32
     lf_table_spread: float = 4.0
     lf_table_min_halfwidth: float = 0.02
+    # Spatial analog of the heading window: when set, build the table only
+    # over an lf_table_box^2 cell box centered on the cloud's mean sensor
+    # cell (out-of-box particles score the z_rand floor, like out-of-window
+    # headings). Build traffic drops from T*H*W to T*box^2 — negligible vs
+    # the map-sized dense build — and the "build scales with map area" term
+    # that made the dense table lose on big maps disappears. None = dense
+    # full-map build. Tracking/SLAM mode only (a dispersed global-
+    # localization cloud outruns any static box; use the direct model there,
+    # as with the heading window).
+    lf_table_box: int | None = None
     # Storage dtype of the padded per-cell score field the build slides
     # windows over. MEASURED NEGATIVE, keep "f32": on-chip at 1M the bf16
     # build is NOT faster (19.4 vs 18.7 ms — the window reads aren't the

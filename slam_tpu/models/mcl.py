@@ -162,6 +162,7 @@ def update(
                 spread_mult=cfg.lf_table_spread,
                 min_halfwidth=cfg.lf_table_min_halfwidth,
                 table_dtype=cfg.lf_table_dtype,
+                box_size=cfg.lf_table_box,
                 ray_sharding=ray_sharding,
             )
         else:

@@ -210,6 +210,8 @@ def lf_score_table(
     z_rand,
     dtype="f32",
     bin_sharding=None,
+    origin=None,
+    out_shape=None,
 ):
     """Correlative likelihood-field score table over explicit heading bins.
 
@@ -237,8 +239,22 @@ def lf_score_table(
     Returns f32[T, H, W]. Memory/traffic scale with T * H * W — the build is
     particle-count-independent, which is the whole point (see
     `particle_log_weights_lf_table`).
+
+    ``origin``/``out_shape`` restrict the build to a sub-box of the map:
+    ``origin`` is a traced ``(i0, j0)`` int pair, ``out_shape`` a STATIC
+    ``(si, sj)``; the returned table is ``[T, si, sj]`` and row ``(a, b)``
+    of it is the full table's row ``(i0 + a, j0 + b)``. Traffic then scales
+    with T * si * sj instead of map area — the spatial analog of the
+    adaptive heading window (see `particle_log_weights_lf_table`'s
+    ``box_size``). The caller must guarantee ``0 <= i0 <= H - si`` (clip).
     """
     h, w = edt.shape
+    si, sj = (h, w) if out_shape is None else out_shape
+    if origin is None:
+        i0 = j0 = jnp.int32(0)
+    else:
+        i0 = jnp.asarray(origin[0], jnp.int32)
+        j0 = jnp.asarray(origin[1], jnp.int32)
     pad = int(math.ceil(rc.max_dist)) + 1
     floor_val = float(math.log(max(z_rand / rc.max_dist, 1e-30)))
     # The build is HBM-bound on the window reads (T x B x H x W elements);
@@ -276,12 +292,14 @@ def lf_score_table(
         def body(acc, xs):
             a, bcol, v = xs
             win = jax.vmap(
-                lambda p, q: jax.lax.dynamic_slice(lpad, (p, q), (h, w))
-            )(a, bcol)  # [chunk, h, w]
+                lambda p, q: jax.lax.dynamic_slice(
+                    lpad, (p + i0, q + j0), (si, sj)
+                )
+            )(a, bcol)  # [chunk, si, sj]
             return acc + jnp.einsum("bij,b->ij", win, v), None
 
         acc, _ = jax.lax.scan(
-            body, jnp.zeros((h, w), jnp.float32), (oi_t, oj_t, valid_c)
+            body, jnp.zeros((si, sj), jnp.float32), (oi_t, oj_t, valid_c)
         )
         return acc
 
@@ -313,6 +331,7 @@ def particle_log_weights_lf_table(
     spread_mult: float = 4.0,
     min_halfwidth: float = 0.02,
     table_dtype: str = "f32",
+    box_size=None,
     ray_sharding=None,
 ):
     """Likelihood-field weights via a windowed correlative score table.
@@ -340,6 +359,20 @@ def particle_log_weights_lf_table(
     ``n_valid_beams * log(z_rand / z_max)`` — the lowest score the mixture
     model can emit — rather than clamping to a (possibly high) edge-bin
     score, so far-outlier headings cannot inherit inflated weights.
+
+    ``box_size`` localizes the BUILD the same way the heading window
+    localizes the bin axis: the table is built only over a static
+    ``box_size x box_size`` cell box centered on the cloud's mean sensor
+    cell, so build traffic scales with T * box^2 instead of T * H * W —
+    at 1M particles on the floor plan that is the difference between the
+    build being ~a third of the SLAM step and being negligible, and it
+    removes the "table build scales with MAP AREA" term that made the
+    dense table lose on big maps (RESULTS.md maze tier decision).
+    Particles whose sensor cell falls outside the box score the z_rand
+    floor, exactly like out-of-window headings — a converged tracking
+    cloud spans a few cells, so a 128-256 box is orders of magnitude of
+    slack; for dispersed clouds (global localization) use the direct
+    model, as already documented for the heading window.
 
     Interaction with adaptive injection (`MCLConfig.adaptive`): injected
     random particles carry uniform headings, which inflate the UNWEIGHTED
@@ -391,9 +424,26 @@ def particle_log_weights_lf_table(
     binw = 2.0 * halfwidth / (t - 1)
     headings = mu + (jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0) * binw
 
+    # Spatial window (box_size): build only around the cloud's mean sensor
+    # cell. Reduction-only center -> psums cleanly on a sharded particle axis.
+    if box_size is None:
+        si, sj = h, w
+        i0 = j0 = jnp.int32(0)
+        origin = None
+        out_shape = None
+    else:
+        si = min(int(box_size), h)
+        sj = min(int(box_size), w)
+        mi, mj = gridlib.world_to_cell((h, w), jnp.mean(sp.x), jnp.mean(sp.y))
+        i0 = jnp.clip(mi - si // 2, 0, h - si).astype(jnp.int32)
+        j0 = jnp.clip(mj - sj // 2, 0, w - sj).astype(jnp.int32)
+        origin = (i0, j0)
+        out_shape = (si, sj)
+
     table = lf_score_table(
         field.edt, scan, headings, rc=rc, stddev=stddev, z_hit=z_hit,
         z_rand=z_rand, dtype=table_dtype, bin_sharding=bin_sharding,
+        origin=origin, out_shape=out_shape,
     )
 
     # One-gather lookup: sensor cell, lerp between adjacent heading bins.
@@ -404,22 +454,29 @@ def particle_log_weights_lf_table(
     # panorama rows). Indexing is multi-dim (no flat t*H*W + i*w + j word,
     # which would overflow int32 at table_bins * H * W >= 2^31 — 32 bins on
     # a ~8192^2 map, exactly the big-map regime this path targets).
-    tbl = jnp.moveaxis(table, 0, -1)  # [H, W, T], one transpose per scan
+    tbl = jnp.moveaxis(table, 0, -1)  # [si, sj, T], one transpose per scan
     i, j = gridlib.world_to_cell((h, w), sp.x, sp.y)
     ic, jc = gridlib.clamp_cell((h, w), i, j)
+    # Box-local row/col; out-of-box particles take the floor (below).
+    il = ic - i0
+    jl = jc - j0
+    in_box = (il >= 0) & (il < si) & (jl >= 0) & (jl < sj)
+    ilc = jnp.clip(il, 0, si - 1)
+    jlc = jnp.clip(jl, 0, sj - 1)
     d = jnp.arctan2(jnp.sin(sp.theta - mu), jnp.cos(sp.theta - mu))
     u = jnp.clip(d / binw + (t - 1) / 2.0, 0.0, float(t - 1))
     t0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, t - 2)
     frac = u - t0.astype(u.dtype)
     pair = jax.vmap(
         lambda a, b, k: jax.lax.dynamic_slice(tbl, (a, b, k), (1, 1, 2))[0, 0]
-    )(ic, jc, t0)  # [N, 2]
+    )(ilc, jlc, t0)  # [N, 2]
     score = (1.0 - frac) * pair[:, 0] + frac * pair[:, 1]
-    # Out-of-window headings (beyond half a bin past the edge): z_rand floor
-    # instead of the edge-bin score (see docstring).
+    # Out-of-window headings (beyond half a bin past the edge) and
+    # out-of-box positions: z_rand floor instead of an edge score (see
+    # docstring).
     n_valid = jnp.sum(scan.dists < rc.max_dist).astype(jnp.float32)
     floor_lw = n_valid * float(math.log(max(z_rand / rc.max_dist, 1e-30)))
-    out = jnp.abs(d) > halfwidth + 0.5 * binw
+    out = (jnp.abs(d) > halfwidth + 0.5 * binw) | ~in_box
     return jnp.where(out, floor_lw, score)
 
 

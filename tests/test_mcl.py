@@ -296,6 +296,54 @@ def test_slam_with_lf_table_measurement():
     assert ate < 8.0, f"SLAM+LF-table ATE {ate}"
 
 
+def test_slam_with_boxed_lf_table_measurement():
+    """Full SLAM with the box-localized table build (lf_table_box): same
+    scenario and ATE bound as the dense-table test — in tracking mode the
+    box follows the cloud and the quality is unchanged while the build cost
+    drops from T*H*W to T*box^2."""
+    import jax.numpy as jnp
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MapConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Pose
+    from slam_tpu.models.simulate import (
+        forward_arc_commands,
+        run_slam,
+        synthetic_room,
+    )
+    from slam_tpu.utils.metrics import ate_rmse
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=256,
+            meas_stddev=3.0,
+            measurement="likelihood_field_table",
+            lf_table_box=48,
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24, stddev=3.0),
+        motion=MotionConfig(alphas=(0.002,) * 4),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, backend="sdf"),
+    )
+    res = run_slam(
+        blocked,
+        cfg,
+        forward_arc_commands(30, trans=1.5, rot=0.12),
+        Pose.create(40.0, 40.0, 0.3),
+        seed=3,
+    )
+    ate = ate_rmse(res.est_xy, res.gt_xy)
+    assert ate < 8.0, f"SLAM+boxed-LF-table ATE {ate}"
+
+
 def test_first_update_uninformative_fallback():
     """The first SLAM update runs against an EMPTY grid: every particle
     scores the z_rand floor, argmax-of-uniform-weights is an arbitrary

@@ -417,3 +417,41 @@ class TestLFTable:
             measurement.particle_log_weights_lf_table(
                 field, poses, scan, rc=rc, table_bins=1
             )
+
+    def test_box_build_matches_dense_in_box_and_floors_outliers(self):
+        """`box_size` (the spatial analog of the heading window): in-box
+        particles score EXACTLY the dense-build value, out-of-box particles
+        take the z_rand floor, and a box covering the whole map reproduces
+        the dense path bit-for-bit."""
+        field, rc, scan = self._fixture()
+        h, w = field.edt.shape
+        rs = np.random.RandomState(3)
+        n = 200
+        # Converged cloud near (x=30, y=40) + one far outlier at index 0.
+        x = 30.0 + 1.5 * rs.randn(n)
+        y = 40.0 + 1.5 * rs.randn(n)
+        x[0], y[0] = w - 8.0, h - 8.0
+        poses = Pose(
+            x=jnp.asarray(x, jnp.float32),
+            y=jnp.asarray(y, jnp.float32),
+            theta=jnp.asarray(0.3 + 0.02 * rs.randn(n), jnp.float32),
+        )
+        kw = dict(rc=rc, stddev=4.0, table_bins=12)
+        dense = np.asarray(
+            measurement.particle_log_weights_lf_table(field, poses, scan, **kw)
+        )
+        box = np.asarray(
+            measurement.particle_log_weights_lf_table(
+                field, poses, scan, box_size=32, **kw
+            )
+        )
+        np.testing.assert_array_equal(box[1:], dense[1:])
+        n_valid = float(np.sum(np.asarray(scan.dists) < rc.max_dist))
+        floor = n_valid * np.log(0.05 / rc.max_dist)
+        assert box[0] == pytest.approx(floor, rel=1e-6)
+        whole = np.asarray(
+            measurement.particle_log_weights_lf_table(
+                field, poses, scan, box_size=max(h, w), **kw
+            )
+        )
+        np.testing.assert_array_equal(whole, dense)

@@ -90,17 +90,20 @@ def test_sharded_slam_step_runs_and_stays_sharded():
     assert shard_shape[0] == N // 4  # 4-way 'p' axis
 
 
-def test_sharded_slam_lf_table_matches_single_device():
+@pytest.mark.parametrize("table_box", [None, 40])
+def test_sharded_slam_lf_table_matches_single_device(table_box):
     """The correlative-table measurement (the 1M-step fast path, 11x over
     the direct likelihood field at 1M — RESULTS.md round 3) under the
-    sharded engine: the heading-window circular stats reduce over the
-    SHARDED particle axis (GSPMD psum) and must match the single-device
-    numerics; the table itself is map-shaped and replicated."""
+    sharded engine: the heading-window circular stats — and, with
+    lf_table_box, the box-center mean — reduce over the SHARDED particle
+    axis (GSPMD psum) and must match the single-device numerics; the table
+    itself is replicated."""
     blocked, pose, scan, _ = _scene()
     cfg = SLAMConfig(
         mcl=MCLConfig(
             n_particles=N,
             measurement="likelihood_field_table",
+            lf_table_box=table_box,
             ess_threshold=0.0,  # no resample: exact comparison
         ),
         map=MapConfig(height=H, width=W),

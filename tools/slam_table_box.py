@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Box-localized table build at large N: quality + latency A/B (round 4).
+
+The correlative score table (`measurement='likelihood_field_table'`) is
+built over the WHOLE map — T x H x W window traffic, ~20.6 ms of the
+64.6 ms 1M SLAM step, and the reason the table tier lost to direct LF on
+big maps (RESULTS.md maze tier decision: build scales with MAP AREA). But
+in tracking mode the cloud occupies a few cells: `MCLConfig.lf_table_box`
+builds the table only over a static box^2 window centered on the cloud's
+mean sensor cell — the spatial analog of the adaptive heading window that
+already bounds the bin axis. Out-of-box particles score the z_rand floor,
+exactly like out-of-window headings.
+
+Same-process sweep (tunnel drift cancels): closed-loop full SLAM (unknown
+map, mapping every step) per box size, reporting ATE and steady-state
+sustained step latency. box=0 means dense (lf_table_box=None), the control.
+
+    nohup setsid python -u tools/slam_table_box.py --particles 1000000 \
+        > /tmp/slam_box.log 2>&1 &
+    python tools/slam_table_box.py --particles 4096 --steps 15 --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--particles", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--boxes", default="0,512,256,128",
+                    help="comma list of lf_table_box values; 0 = dense")
+    ap.add_argument("--resample-every", type=int, default=1)
+    ap.add_argument("--lat-iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import floor_plan_blocked
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod, slam as slam_mod
+    from slam_tpu.ops import motion
+    from slam_tpu.ops.measurement import sensor_pose
+    from slam_tpu.utils.metrics import ate_rmse
+    from slam_tpu.utils.profiling import fence
+
+    blocked = jnp.asarray(floor_plan_blocked())
+    lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
+    rc = RaycastConfig(step=0.5, max_dist=500.0, backend="sdf")
+    start = Pose.create(400.0, 400.0, np.pi)
+    odom = Odometry.create(0.02, 2.5, 0.02)
+
+    scan_fn = jax.jit(lambda pose: fake_lidar.scan(blocked, pose, lidar, rc))
+
+    results = {}
+    for box in (int(t) for t in args.boxes.split(",")):
+        cfg = SLAMConfig(
+            mcl=MCLConfig(
+                n_particles=args.particles,
+                meas_stddev=5.0,
+                measurement="likelihood_field_table",
+                lf_table_box=box or None,
+                resample_every=args.resample_every,
+            ),
+            lidar=lidar,
+            motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+            raycast=rc,
+        )
+        engine = slam_mod.GridSLAM(cfg, seed=0)
+        state = engine.init(start)
+        key = jax.random.key(1)
+        gt = start
+        est_xy, gt_xy = [], []
+        for t in range(args.steps):
+            k_gt, _ = jax.random.split(jax.random.fold_in(key, t))
+            gt = motion.sample_motion_model_odometry(
+                k_gt, odom, gt, cfg.motion.alphas
+            )
+            scan = scan_fn(sensor_pose(gt, cfg.mcl.scanner_offset))
+            state = engine.step(state, odom, scan)
+            mp = mcl_mod.mean_pose(state.mcl)
+            est_xy.append([float(mp.x), float(mp.y)])
+            gt_xy.append([float(gt.x), float(gt.y)])
+        ate = float(ate_rmse(np.array(est_xy), np.array(gt_xy)))
+
+        k_every = max(1, args.resample_every)
+        iters = args.lat_iters - (args.lat_iters % k_every) or k_every
+        scan0 = scan_fn(sensor_pose(gt, cfg.mcl.scanner_offset))
+        st = engine.step(state, odom, scan0)
+        fence(st)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st = engine.step(st, odom, scan0)
+        fence(st)
+        step_ms = (time.perf_counter() - t0) / iters * 1e3
+
+        results[box] = dict(
+            ate_px=round(ate, 3),
+            steady_step_ms=round(step_ms, 2),
+        )
+        print(
+            f"# lf_table_box={box or 'dense'}: ATE {ate:.2f} px, sustained "
+            f"step {step_ms:.2f} ms",
+            file=sys.stderr, flush=True,
+        )
+
+    print(json.dumps({
+        "metric": f"slam_table_box_{args.particles // 1000}k",
+        "unit": "ms/step + px",
+        "steps": args.steps,
+        "resample_every": args.resample_every,
+        "results": {str(k): v for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
