@@ -33,7 +33,10 @@ def main():
         help="comma list to A/B measurement tiers in ONE process (drift "
         "control): e.g. likelihood_field,likelihood_field_table — at "
         "2354x2464 the [T,H,W] table is ~0.8 GB per rebuild, so the "
-        "100k-proven table tier is not obviously the big-map winner",
+        "100k-proven table tier is not obviously the big-map winner. "
+        "A :N suffix sets lf_table_box (the round-4 box-localized build "
+        "whose traffic is T*box^2, map-size-independent): "
+        "likelihood_field_table:256",
     )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -77,12 +80,14 @@ def main():
     sx, sy = find_start(blocked_np)
     odom = Odometry.create(0.02, 2.0, 0.02)
 
-    for meas in args.measurement.split(","):
+    for label in args.measurement.split(","):
+        meas, _, box = label.partition(":")
         cfg = SLAMConfig(
             mcl=MCLConfig(
                 n_particles=args.particles,
                 meas_stddev=5.0,
                 measurement=meas,
+                lf_table_box=int(box) if box else None,
             ),
             map=MapConfig(height=h, width=w),
             lidar=lidar,
@@ -118,13 +123,13 @@ def main():
         per = t_meas / max(1, args.steps - 2)
         print(json.dumps({
             "metric": f"maze_slam_step_ms_{args.particles}",
-            "measurement": meas,
+            "measurement": label,
             "value": round(per * 1e3, 2),
             "unit": "ms",
             "ate_px": round(float(ate), 2),
         }), flush=True)
         print(
-            f"# maze SLAM {h}x{w} [{meas}]: {args.particles} particles x "
+            f"# maze SLAM {h}x{w} [{label}]: {args.particles} particles x "
             f"{args.steps} steps, {per*1e3:.0f} ms/step ({1/per:.1f} Hz), "
             f"ATE {ate:.2f}px on {jax.devices()[0].device_kind}",
             file=sys.stderr,

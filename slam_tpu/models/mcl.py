@@ -216,8 +216,14 @@ def update(
     # into the shared map's gauge permanently (measured: the 120-step
     # deterministic arc's worst seeds, RESULTS.md round 4). Fall back to the
     # sharpened mean, which under uniform weights is the prior mean
-    # (error ~noise/sqrt(N)).
-    informative = jnp.ptp(lw) > 1e-6
+    # (error ~noise/sqrt(N)). "Uninformative" = the top score is a majority
+    # tie, NOT ptp(lw) == 0: with lf_table_box (or any outlier-flooring
+    # path) a few out-of-window particles score the z_rand floor even when
+    # the in-window majority ties, and a ptp test would then crown an
+    # arbitrary tied particle — the exact gauge rotation this guards
+    # against. Reductions only (psum-friendly on a sharded particle axis).
+    top_tie_frac = jnp.mean((jnp.max(lw) - lw) < 1e-6)
+    informative = top_tie_frac < 0.5
     best_pose = jax.tree.map(
         lambda b, m: jnp.where(informative, b, m), best_pose, mode_pose
     )

@@ -378,3 +378,46 @@ def test_first_update_uninformative_fallback():
     assert not bool(
         jnp.any(st1.mcl.particles.pose.x == st1.mcl.best_pose.x)
     )
+
+
+def test_first_update_uninformative_fallback_with_table_box():
+    """Same empty-grid first update, but with the box-localized build
+    (lf_table_box): a handful of far-tail particles fall outside the box
+    and score the z_rand floor, so the weights are NOT all equal — yet the
+    in-box majority still ties at the top, the measurement carries no pose
+    information, and the fallback must STILL fire (the detection is a
+    majority-tie test, not ptp == 0)."""
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+
+    h = w = 128
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=64,
+            measurement="likelihood_field_table",
+            lf_table_box=24,
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(n_rays=30, max_dist=100.0),
+        raycast=RaycastConfig(max_dist=100.0, backend="sdf"),
+    )
+    engine = slam_mod.GridSLAM(cfg, seed=0)
+    start = Pose.create(64.0, 64.0, 0.5)
+    state = engine.init(start)
+    # Push a few particles far out of the 24-cell box so they take the
+    # floor score (ptp(lw) > 0 — the old detection would declare the
+    # measurement informative and crown an arbitrary tied particle).
+    pp = state.mcl.particles
+    x = pp.pose.x.at[:3].set(jnp.asarray([5.0, 120.0, 5.0]))
+    y = pp.pose.y.at[:3].set(jnp.asarray([5.0, 5.0, 120.0]))
+    state = state.replace(
+        mcl=state.mcl.replace(
+            particles=pp.replace(pose=pp.pose.replace(x=x, y=y))
+        )
+    )
+    blocked = jnp.zeros((h, w), bool).at[10, :].set(True)
+    scan = fake_lidar.scan(blocked, start, cfg.lidar, cfg.raycast)
+    st1 = engine.step(state, Odometry.create(0.02, 2.0, 0.02), scan)
+    for b, m in zip(
+        jax.tree.leaves(st1.mcl.best_pose), jax.tree.leaves(st1.mcl.mode_pose)
+    ):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(m))

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--boxes", default="0,512,256,128",
                     help="comma list of lf_table_box values; 0 = dense")
     ap.add_argument("--resample-every", type=int, default=1)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="filter seeds per config (fixed gt arc): the arc "
+                    "is chaotic under any code perturbation — single-run "
+                    "ATE comparisons between code paths are meaningless "
+                    "(see RESULTS.md head-to-head bimodality)")
     ap.add_argument("--lat-iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -88,22 +93,25 @@ def main():
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
             raycast=rc,
         )
-        engine = slam_mod.GridSLAM(cfg, seed=0)
-        state = engine.init(start)
-        key = jax.random.key(1)
-        gt = start
-        est_xy, gt_xy = [], []
-        for t in range(args.steps):
-            k_gt, _ = jax.random.split(jax.random.fold_in(key, t))
-            gt = motion.sample_motion_model_odometry(
-                k_gt, odom, gt, cfg.motion.alphas
-            )
-            scan = scan_fn(sensor_pose(gt, cfg.mcl.scanner_offset))
-            state = engine.step(state, odom, scan)
-            mp = mcl_mod.mean_pose(state.mcl)
-            est_xy.append([float(mp.x), float(mp.y)])
-            gt_xy.append([float(gt.x), float(gt.y)])
-        ate = float(ate_rmse(np.array(est_xy), np.array(gt_xy)))
+        ates = []
+        for seed in range(args.seeds):
+            engine = slam_mod.GridSLAM(cfg, seed=seed)
+            state = engine.init(start)
+            key = jax.random.key(1)
+            gt = start
+            est_xy, gt_xy = [], []
+            for t in range(args.steps):
+                k_gt, _ = jax.random.split(jax.random.fold_in(key, t))
+                gt = motion.sample_motion_model_odometry(
+                    k_gt, odom, gt, cfg.motion.alphas
+                )
+                scan = scan_fn(sensor_pose(gt, cfg.mcl.scanner_offset))
+                state = engine.step(state, odom, scan)
+                mp = mcl_mod.mean_pose(state.mcl)
+                est_xy.append([float(mp.x), float(mp.y)])
+                gt_xy.append([float(gt.x), float(gt.y)])
+            ates.append(float(ate_rmse(np.array(est_xy), np.array(gt_xy))))
+        ate = float(np.mean(ates))
 
         k_every = max(1, args.resample_every)
         iters = args.lat_iters - (args.lat_iters % k_every) or k_every
@@ -118,11 +126,13 @@ def main():
 
         results[box] = dict(
             ate_px=round(ate, 3),
+            ate_seeds=[round(a, 3) for a in ates],
             steady_step_ms=round(step_ms, 2),
         )
         print(
-            f"# lf_table_box={box or 'dense'}: ATE {ate:.2f} px, sustained "
-            f"step {step_ms:.2f} ms",
+            f"# lf_table_box={box or 'dense'}: ATE mean {ate:.2f} px "
+            f"(seeds {[round(a, 2) for a in ates]}), sustained step "
+            f"{step_ms:.2f} ms",
             file=sys.stderr, flush=True,
         )
 
