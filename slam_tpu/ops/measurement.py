@@ -264,7 +264,28 @@ def lf_score_table(
     L = lf_log_score_field(
         edt, stddev=stddev, z_hit=z_hit, z_rand=z_rand, max_dist=rc.max_dist
     ).astype(store)
-    lpad = jnp.pad(L, pad, constant_values=jnp.asarray(floor_val, store))
+    if origin is None:
+        lpad = jnp.pad(L, pad, constant_values=jnp.asarray(floor_val, store))
+    else:
+        # Box build: the windows only ever read the (si + 2pad, sj + 2pad)
+        # span around the box, so materialize exactly that window of the
+        # padded field instead of padding the whole map (on a 2354x2464 map
+        # with pad 501 the full pad would be an 11.6M-cell array per step).
+        # Row/col gathers with clipped indices + a floor mask reproduce the
+        # padded field's values bit-for-bit; window slice starts then drop
+        # the i0/j0 offset (the window's origin IS the box - pad corner).
+        la_i, la_j = si + 2 * pad, sj + 2 * pad
+        rows = i0 - pad + jnp.arange(la_i)
+        cols = j0 - pad + jnp.arange(la_j)
+        in_i = (rows >= 0) & (rows < h)
+        in_j = (cols >= 0) & (cols < w)
+        core = L[jnp.clip(rows, 0, h - 1)][:, jnp.clip(cols, 0, w - 1)]
+        lpad = jnp.where(
+            in_i[:, None] & in_j[None, :],
+            core,
+            jnp.asarray(floor_val, store),
+        )
+        i0 = j0 = jnp.int32(0)
 
     valid = (scan.dists < rc.max_dist).astype(jnp.float32)  # [B]
     ang = headings[:, None] + scan.angles[None, :]  # [T, B]

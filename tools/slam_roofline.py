@@ -219,6 +219,35 @@ def main():
     state_t16 = full_t16(state_t)
     t_full_t16 = timeit(full_t16, state_t16)
 
+    # Box-localized build (lf_table_box, round 4): traffic T*box^2 instead
+    # of T*H*W — the build should drop to ~noise, leaving the pair-gather
+    # lookup as the whole table phase.
+    cfg_tb = _dc.replace(
+        cfg_t, mcl=_dc.replace(cfg_t.mcl, lf_table_box=128)
+    )
+    full_tb = jax.jit(lambda st: slam_mod.step(st, odom, scan, cfg_tb))
+    state_tb = full_tb(state_t)
+    t_full_tb = timeit(full_tb, state_tb)
+
+    @jax.jit
+    def phase_weights_table_box(st, field, scan):
+        return measurement.particle_log_weights_lf_table(
+            field,
+            st.mcl.particles.pose,
+            scan,
+            rc=rc,
+            scanner_offset=cfg.mcl.scanner_offset,
+            stddev=cfg.mcl.meas_stddev,
+            z_hit=cfg.mcl.lf_z_hit,
+            z_rand=cfg.mcl.lf_z_rand,
+            table_bins=cfg.mcl.lf_table_bins,
+            spread_mult=cfg.mcl.lf_table_spread,
+            min_halfwidth=cfg.mcl.lf_table_min_halfwidth,
+            box_size=128,
+        )
+
+    t_meas_tb = timeit(phase_weights_table_box, state_tb, field, scan)
+
     n, b = args.particles, lidar.n_rays
     meas_bytes = n * b * 4 + n * 4  # EDT endpoint gathers + weight writes
     gbps = meas_bytes / t_meas / 1e9
@@ -234,6 +263,8 @@ def main():
         ("table build alone", t_tbuild),
         ("table build bf16", t_tbuild16),
         ("full step (table bf16)", t_full_t16),
+        ("lf-table weights (box 128)", t_meas_tb),
+        ("full step (table, box 128)", t_full_tb),
     ):
         print(f"# {name:18s} {t * 1e3:8.2f} ms", file=sys.stderr)
     print(f"# lf weights: {meas_bytes / 1e6:.0f} MB of endpoint gathers -> "
@@ -256,6 +287,8 @@ def main():
             "lf_table_build_ms": round(t_tbuild * 1e3, 3),
             "lf_table_build_bf16_ms": round(t_tbuild16 * 1e3, 3),
             "full_step_table_bf16_ms": round(t_full_t16 * 1e3, 3),
+            "lf_table_weights_box128_ms": round(t_meas_tb * 1e3, 3),
+            "full_step_table_box128_ms": round(t_full_tb * 1e3, 3),
         },
     }))
 

@@ -45,6 +45,9 @@ def main():
                     "is chaotic under any code perturbation — single-run "
                     "ATE comparisons between code paths are meaningless "
                     "(see RESULTS.md head-to-head bimodality)")
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first filter seed (extend an earlier sweep "
+                    "without re-running its seeds)")
     ap.add_argument("--lat-iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -94,7 +97,8 @@ def main():
             raycast=rc,
         )
         ates = []
-        for seed in range(args.seeds):
+        al_ates = []
+        for seed in range(args.seed_start, args.seed_start + args.seeds):
             engine = slam_mod.GridSLAM(cfg, seed=seed)
             state = engine.init(start)
             key = jax.random.key(1)
@@ -111,6 +115,12 @@ def main():
                 est_xy.append([float(mp.x), float(mp.y)])
                 gt_xy.append([float(gt.x), float(gt.y)])
             ates.append(float(ate_rmse(np.array(est_xy), np.array(gt_xy))))
+            # Gauge-aligned ATE (SE(2) Umeyama fit first): the raw ATE on
+            # this arc is dominated by the early-empty-map gauge draw (a
+            # near-rigid rotation of the whole trajectory, chaotic across
+            # seeds); the aligned number isolates tracking quality.
+            al_ates.append(float(ate_rmse(
+                np.array(est_xy), np.array(gt_xy), align=True)))
         ate = float(np.mean(ates))
 
         k_every = max(1, args.resample_every)
@@ -127,11 +137,13 @@ def main():
         results[box] = dict(
             ate_px=round(ate, 3),
             ate_seeds=[round(a, 3) for a in ates],
+            ate_aligned_seeds=[round(a, 3) for a in al_ates],
             steady_step_ms=round(step_ms, 2),
         )
         print(
             f"# lf_table_box={box or 'dense'}: ATE mean {ate:.2f} px "
-            f"(seeds {[round(a, 2) for a in ates]}), sustained step "
+            f"(seeds {[round(a, 2) for a in ates]}; gauge-aligned "
+            f"{[round(a, 2) for a in al_ates]}), sustained step "
             f"{step_ms:.2f} ms",
             file=sys.stderr, flush=True,
         )
