@@ -121,17 +121,39 @@ def main():
 
         ate = ate_rmse(np.asarray(est), np.asarray(gts))
         per = t_meas / max(1, args.steps - 2)
+
+        # Steady-state pipelined rate (fence once after the block) — the
+        # methodology every other bench here uses. The per-step-fenced
+        # number above additionally pays one full host->TPU tunnel
+        # round-trip PER STEP (~30-70 ms through the axon tunnel — round-4
+        # finding; on local TPU deployments dispatch is tens of us), which
+        # dominated the maze numbers recorded before round 4's fix.
+        scan0 = fake_lidar.scan(
+            blocked, sensor_pose(gt, cfg.mcl.scanner_offset), lidar,
+            RaycastConfig(max_dist=500.0),
+        )
+        st = engine.step(state, odom, scan0)
+        fence(st.mcl.particles.log_weight)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st = engine.step(st, odom, scan0)
+        fence(st.mcl.particles.log_weight)
+        pipe = (time.perf_counter() - t0) / iters
+
         print(json.dumps({
             "metric": f"maze_slam_step_ms_{args.particles}",
             "measurement": label,
-            "value": round(per * 1e3, 2),
+            "value": round(pipe * 1e3, 2),
             "unit": "ms",
+            "per_step_fenced_ms": round(per * 1e3, 2),
             "ate_px": round(float(ate), 2),
         }), flush=True)
         print(
             f"# maze SLAM {h}x{w} [{label}]: {args.particles} particles x "
-            f"{args.steps} steps, {per*1e3:.0f} ms/step ({1/per:.1f} Hz), "
-            f"ATE {ate:.2f}px on {jax.devices()[0].device_kind}",
+            f"{args.steps} steps, {pipe*1e3:.1f} ms/step pipelined "
+            f"({1/pipe:.1f} Hz; {per*1e3:.0f} ms with a host fence per "
+            f"step), ATE {ate:.2f}px on {jax.devices()[0].device_kind}",
             file=sys.stderr,
         )
 

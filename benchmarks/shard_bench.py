@@ -47,6 +47,12 @@ def main():
         "RESULTS.md round 3)",
     )
     ap.add_argument(
+        "--table-box", type=int, default=0,
+        help="lf_table_box for the table measurement (0 = dense build; "
+        "128 is the measured 1M production setting — box-localized build, "
+        "round 4)",
+    )
+    ap.add_argument(
         "--virtual",
         type=int,
         default=0,
@@ -94,6 +100,7 @@ def main():
                 n_particles=n_particles,
                 meas_stddev=5.0,
                 measurement=args.measurement,
+                lf_table_box=args.table_box or None,
             ),
             lidar=lidar,
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--map", default=None,
+                    help="path to a map PNG (free=white); default floor plan")
+    ap.add_argument("--start", type=float, nargs=2, default=None,
+                    help="start x y (world coords); default map-specific")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,7 +56,12 @@ def main():
     from slam_tpu.models import fake_lidar, mcl as mcl_mod, slam as slam_mod
     from slam_tpu.ops import edt as edtlib, mapping, measurement, resample, rayfield
 
-    blocked = jnp.asarray(floor_plan_blocked())
+    if args.map:
+        from slam_tpu.utils.maps import load_binary_map
+
+        blocked = jnp.asarray(np.asarray(load_binary_map(args.map) == 0))
+    else:
+        blocked = jnp.asarray(floor_plan_blocked())
     h, w = blocked.shape
     lidar = LidarConfig(start=0.0, stop=np.pi, max_dist=500.0, n_rays=90)
     rc = RaycastConfig(step=0.5, max_dist=500.0, backend="sdf")
@@ -67,7 +76,15 @@ def main():
         raycast=rc,
     )
 
-    pose = Pose.create(400.0, 400.0, np.pi)
+    if args.start:
+        pose = Pose.create(args.start[0], args.start[1], np.pi)
+    elif args.map:
+        from benchmarks.maze_bench import find_start
+
+        sx, sy = find_start(np.asarray(blocked))
+        pose = Pose.create(sx, sy, 0.9)
+    else:
+        pose = Pose.create(400.0, 400.0, np.pi)
     scan = fake_lidar.scan(blocked, pose, lidar, RaycastConfig(max_dist=500.0))
     odom = Odometry.create(2.5, 0.02, 0.02)
     edt_cap = 5.0 * cfg.mcl.meas_stddev + 2.0
