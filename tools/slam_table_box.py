@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--boxes", default="0,512,256,128",
                     help="comma list of lf_table_box values; 0 = dense")
     ap.add_argument("--resample-every", type=int, default=1)
+    ap.add_argument("--map-pose", default="best",
+                    help="SLAMConfig.map_pose values to A/B (comma list): "
+                    "the mapping estimate choice is the main lever on the "
+                    "early-map gauge draw")
     ap.add_argument("--seeds", type=int, default=1,
                     help="filter seeds per config (fixed gt arc): the arc "
                     "is chaotic under any code perturbation — single-run "
@@ -83,7 +87,10 @@ def main():
     scan_fn = jax.jit(lambda pose: fake_lidar.scan(blocked, pose, lidar, rc))
 
     results = {}
-    for box in (int(t) for t in args.boxes.split(",")):
+    import itertools
+    for box, mp_est in itertools.product(
+        (int(t) for t in args.boxes.split(",")), args.map_pose.split(",")
+    ):
         cfg = SLAMConfig(
             mcl=MCLConfig(
                 n_particles=args.particles,
@@ -95,6 +102,7 @@ def main():
             lidar=lidar,
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
             raycast=rc,
+            map_pose=mp_est,
         )
         ates = []
         al_ates = []
@@ -134,14 +142,15 @@ def main():
         fence(st)
         step_ms = (time.perf_counter() - t0) / iters * 1e3
 
-        results[box] = dict(
+        results[f"{box}/{mp_est}"] = dict(
             ate_px=round(ate, 3),
             ate_seeds=[round(a, 3) for a in ates],
             ate_aligned_seeds=[round(a, 3) for a in al_ates],
             steady_step_ms=round(step_ms, 2),
         )
         print(
-            f"# lf_table_box={box or 'dense'}: ATE mean {ate:.2f} px "
+            f"# lf_table_box={box or 'dense'} map_pose={mp_est}: "
+            f"ATE mean {ate:.2f} px "
             f"(seeds {[round(a, 2) for a in ates]}; gauge-aligned "
             f"{[round(a, 2) for a in al_ates]}), sustained step "
             f"{step_ms:.2f} ms",
