@@ -89,6 +89,9 @@ def main(argv=None):
         default="beam",
         choices=["beam", "likelihood_field", "likelihood_field_table"],
     )
+    ap.add_argument("--table-box", type=int, default=0,
+                    help="lf_table_box for the table measurement (0 = dense "
+                    "build; 128 = the 1M production setting)")
     ap.add_argument("--n-rays", type=int, default=60)
     ap.add_argument("--max-dist", type=float, default=200.0)
     ap.add_argument("--scanner-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0))
@@ -123,6 +126,7 @@ def main(argv=None):
             meas_stddev=5.0,
             scanner_offset=tuple(args.scanner_offset),
             measurement=args.measurement,
+            lf_table_box=args.table_box or None,
         ),
         map=MapConfig(height=h, width=w),
         lidar=LidarConfig(n_rays=args.n_rays, max_dist=args.max_dist, stddev=5.0),
