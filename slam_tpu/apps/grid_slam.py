@@ -87,7 +87,8 @@ def main(argv=None):
     ap.add_argument(
         "--measurement",
         default="beam",
-        choices=["beam", "likelihood_field", "likelihood_field_table"],
+        choices=["beam", "likelihood_field", "likelihood_field_table",
+                 "likelihood_field_auto"],
     )
     ap.add_argument("--table-box", type=int, default=0,
                     help="lf_table_box for the table measurement (0 = dense "

@@ -163,8 +163,17 @@ class MCLConfig:
     # that made the dense table lose on big maps disappears. None = dense
     # full-map build. Tracking/SLAM mode only (a dispersed global-
     # localization cloud outruns any static box; use the direct model there,
-    # as with the heading window).
+    # as with the heading window — or measurement="likelihood_field_auto").
     lf_table_box: int | None = None
+    # measurement="likelihood_field_auto" picks per step between the boxed
+    # table (tracking fast path) and the direct likelihood field (dispersed
+    # clouds: global localization, kidnap recovery under adaptive
+    # injection) from the cloud's own statistics: table iff the 4-sigma
+    # heading window half-width is at most lf_auto_max_halfwidth AND the
+    # lf_auto_sigma-sigma spatial extent fits the half-box. Both branches
+    # compile once (lax.cond); each step pays only the taken one.
+    lf_auto_max_halfwidth: float = 0.6
+    lf_auto_sigma: float = 4.0
     # Storage dtype of the padded per-cell score field the build slides
     # windows over. MEASURED NEGATIVE, keep "f32": on-chip at 1M the bf16
     # build is NOT faster (19.4 vs 18.7 ms — the window reads aren't the

@@ -127,7 +127,9 @@ def update(
             )
         field = None
         lw = measurement_fn(state.particles.pose, scan)
-    elif cfg.measurement in ("likelihood_field", "likelihood_field_table"):
+    elif cfg.measurement in (
+        "likelihood_field", "likelihood_field_table", "likelihood_field_auto"
+    ):
         if not isinstance(field, rayfield.RayField):
             # Per-step rebuild (SLAM mode): the LF pdf only resolves ~5
             # sigma of distance (beyond that the z_rand floor dominates),
@@ -148,9 +150,9 @@ def update(
                 "use RaycastConfig(backend='sdf') or build the RayField with "
                 f"an EDT (got backend={rc.backend!r})"
             )
-        if cfg.measurement == "likelihood_field_table":
-            lw = measurement.particle_log_weights_lf_table(
-                field,
+        def _table(f):
+            return measurement.particle_log_weights_lf_table(
+                f,
                 state.particles.pose,
                 scan,
                 rc=rc,
@@ -165,9 +167,10 @@ def update(
                 box_size=cfg.lf_table_box,
                 ray_sharding=ray_sharding,
             )
-        else:
-            lw = measurement.particle_log_weights_likelihood_field(
-                field,
+
+        def _direct(f):
+            return measurement.particle_log_weights_likelihood_field(
+                f,
                 state.particles.pose,
                 scan,
                 rc=rc,
@@ -177,6 +180,45 @@ def update(
                 z_rand=cfg.lf_z_rand,
                 ray_sharding=ray_sharding,
             )
+
+        if cfg.measurement == "likelihood_field_table":
+            lw = _table(field)
+        elif cfg.measurement == "likelihood_field_auto":
+            # Auto tier: the boxed table is the tracking fast path but
+            # coarsens (heading bins widen, out-of-box flooring) on a
+            # DISPERSED cloud — global-localization init, kidnap recovery
+            # under adaptive injection. Pick per step from the cloud's own
+            # statistics (reductions — psum-clean when sharded): table when
+            # both the 4-sigma heading window and the k-sigma spatial
+            # extent are tight, direct likelihood field otherwise. Both
+            # branches compile once; each step executes only the taken one.
+            sp = measurement.sensor_pose(
+                state.particles.pose, cfg.scanner_offset
+            )
+            c = jnp.mean(jnp.cos(sp.theta))
+            s = jnp.mean(jnp.sin(sp.theta))
+            rbar = jnp.clip(
+                jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7
+            )
+            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+            halfwidth = (
+                cfg.lf_table_spread * cstd + cfg.lf_table_min_halfwidth
+            )
+            sx = jnp.std(sp.x)
+            sy = jnp.std(sp.y)
+            box_eff = (
+                float(cfg.lf_table_box)
+                if cfg.lf_table_box is not None
+                else float(min(field.edt.shape))
+            )
+            converged = (
+                (halfwidth <= cfg.lf_auto_max_halfwidth)
+                & (cfg.lf_auto_sigma * sx <= box_eff / 2.0)
+                & (cfg.lf_auto_sigma * sy <= box_eff / 2.0)
+            )
+            lw = jax.lax.cond(converged, _table, _direct, field)
+        else:
+            lw = _direct(field)
     else:
         field = rayfield.as_ray_field(field, rc)
         lw = measurement.particle_log_weights(

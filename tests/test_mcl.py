@@ -344,6 +344,127 @@ def test_slam_with_boxed_lf_table_measurement():
     assert ate < 8.0, f"SLAM+boxed-LF-table ATE {ate}"
 
 
+def test_auto_measurement_tier_dispatch():
+    """measurement='likelihood_field_auto' (round 4): a converged cloud
+    scores EXACTLY like the forced boxed-table path, a dispersed
+    (global-localization-like) cloud EXACTLY like the forced direct
+    likelihood field — the lax.cond picks the branch from the cloud's own
+    statistics."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod
+    from slam_tpu.ops import edt as edtlib
+    from slam_tpu.ops.rayfield import RayField
+    from slam_tpu.models.simulate import synthetic_room
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    rc = RaycastConfig(step=1.0, max_dist=60.0, backend="sdf")
+    field = RayField(blocked=blocked, edt=edtlib.edt_jfa(blocked))
+    lidar = LidarConfig(max_dist=60.0, n_rays=24)
+    scan = fake_lidar.scan(blocked, Pose.create(40.0, 40.0, 0.3), lidar, rc)
+
+    def run_update(cfg, pose_fn):
+        st = mcl_mod.init(
+            jax.random.key(0), cfg.n_particles, Pose.create(40.0, 40.0, 0.3)
+        )
+        pp = st.particles
+        x, y, th = pose_fn(pp.n)
+        st = st.replace(
+            particles=pp.replace(
+                pose=Pose(x=x, y=y, theta=th)
+            )
+        )
+        out = mcl_mod.update(st, scan, field, cfg, rc)
+        return np.asarray(out.particles.log_weight)
+
+    base = MCLConfig(
+        n_particles=64, meas_stddev=3.0, lf_table_box=32,
+        ess_threshold=0.0,  # no resample: exact comparison
+    )
+    rs = np.random.RandomState(0)
+
+    def converged(n):
+        return (
+            jnp.asarray(40.0 + 0.5 * rs.randn(n), jnp.float32),
+            jnp.asarray(40.0 + 0.5 * rs.randn(n), jnp.float32),
+            jnp.asarray(0.3 + 0.01 * rs.randn(n), jnp.float32),
+        )
+
+    def dispersed(n):
+        return (
+            jnp.asarray(rs.uniform(5, w - 5, n), jnp.float32),
+            jnp.asarray(rs.uniform(5, h - 5, n), jnp.float32),
+            jnp.asarray(rs.uniform(-np.pi, np.pi, n), jnp.float32),
+        )
+
+    for pose_fn, want_meas, other_meas in (
+        (converged, "likelihood_field_table", "likelihood_field"),
+        (dispersed, "likelihood_field", "likelihood_field_table"),
+    ):
+        rs = np.random.RandomState(0)
+        auto = run_update(
+            dc.replace(base, measurement="likelihood_field_auto"), pose_fn
+        )
+        rs = np.random.RandomState(0)
+        forced = run_update(dc.replace(base, measurement=want_meas), pose_fn)
+        rs = np.random.RandomState(0)
+        other = run_update(dc.replace(base, measurement=other_meas), pose_fn)
+        # Equal to the selected branch up to lax.cond-context compilation
+        # rounding (ulps), and NOT equal to the other branch.
+        np.testing.assert_allclose(auto, forced, rtol=1e-6, atol=1e-4)
+        assert float(np.max(np.abs(auto - other))) > 0.01, want_meas
+
+
+def test_auto_tier_global_localization_converges():
+    """e2e through the tier switch: a uniform-init cloud on the known map
+    localizes under measurement='likelihood_field_auto' — early steps run
+    the direct branch (dispersed), late steps the boxed table (converged) —
+    and ends within a few px of the true pose."""
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod
+    from slam_tpu.models.simulate import synthetic_room
+    from slam_tpu.ops import edt as edtlib, motion
+    from slam_tpu.ops.rayfield import RayField
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    rc = RaycastConfig(step=1.0, max_dist=60.0, backend="sdf")
+    field = RayField(blocked=blocked, edt=edtlib.edt_jfa(blocked))
+    lidar = LidarConfig(max_dist=60.0, n_rays=36)
+    cfg = MCLConfig(
+        n_particles=2048, meas_stddev=3.0,
+        measurement="likelihood_field_auto", lf_table_box=32,
+    )
+    st = mcl_mod.init_uniform(jax.random.key(1), cfg.n_particles, blocked)
+    # Dispersed enough that the first updates MUST take the direct branch.
+    assert float(jnp.std(st.particles.pose.x)) > cfg.lf_table_box
+
+    gt = Pose.create(40.0, 40.0, 0.3)
+    odom = Odometry.create(0.05, 1.5, 0.05)
+    key = jax.random.key(2)
+    for t in range(12):
+        key, kgt = jax.random.split(key)
+        gt = motion.sample_motion_model_odometry(
+            kgt, odom, gt, (0.002,) * 4
+        )
+        scan = fake_lidar.scan(blocked, gt, lidar, rc)
+        st = mcl_mod.predict(st, odom, (0.002,) * 4)
+        st = mcl_mod.update(st, scan, field, cfg, rc)
+    mp = mcl_mod.mean_pose(st)
+    err = float(jnp.hypot(mp.x - gt.x, mp.y - gt.y))
+    # The cloud collapses onto the nearest uniform-init particle after one
+    # update (~1/sqrt(N) pose-space coverage, ~9 px here) and then tracks;
+    # the bound checks the switchover localizes, not MCL's global-loc
+    # quality (beam-model + adaptive-injection tests cover that).
+    assert err < 10.0, f"auto-tier global localization error {err}"
+    # Converged: the cloud now fits the box, so the table branch is active.
+    assert float(jnp.std(st.particles.pose.x)) * cfg.lf_auto_sigma < (
+        cfg.lf_table_box / 2
+    )
+
+
 def test_first_update_uninformative_fallback():
     """The first SLAM update runs against an EMPTY grid: every particle
     scores the z_rand floor, argmax-of-uniform-weights is an arbitrary
