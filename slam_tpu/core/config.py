@@ -171,7 +171,11 @@ class MCLConfig:
     # injection) from the cloud's own statistics: table iff the 4-sigma
     # heading window half-width is at most lf_auto_max_halfwidth AND the
     # lf_auto_sigma-sigma spatial extent fits the half-box. Both branches
-    # compile once (lax.cond); each step pays only the taken one.
+    # compile once (lax.cond); each step pays only the taken one. NOTE: on
+    # the tunneled runtime, chained dispatch of the in-program cond
+    # de-pipelines (RESULTS.md round 4); GridSLAM therefore dispatches the
+    # tier on the HOST with a lagged, prefetched predicate instead —
+    # same results, no cond in the program.
     lf_auto_max_halfwidth: float = 0.6
     lf_auto_sigma: float = 4.0
     # Storage dtype of the padded per-cell score field the build slides

@@ -216,7 +216,53 @@ def update(
                 & (cfg.lf_auto_sigma * sx <= box_eff / 2.0)
                 & (cfg.lf_auto_sigma * sy <= box_eff / 2.0)
             )
-            lw = jax.lax.cond(converged, _table, _direct, field)
+
+            # Gate only the PARTICLE-COUNT-INDEPENDENT halves in the cond:
+            # lowering the N-particle pair gather inside a cond branch
+            # de-optimizes it (measured 30 -> 231 ms at 1M). The lookup
+            # runs unconditionally in the main computation (reads a zeros
+            # placeholder when dispersed, ~the gather floor in cost); the
+            # direct model runs in the other cond, and where() selects.
+            def _prep(f):
+                return measurement.lf_table_prepare(
+                    f,
+                    state.particles.pose,
+                    scan,
+                    rc=rc,
+                    scanner_offset=cfg.scanner_offset,
+                    stddev=cfg.meas_stddev,
+                    z_hit=cfg.lf_z_hit,
+                    z_rand=cfg.lf_z_rand,
+                    table_bins=cfg.lf_table_bins,
+                    spread_mult=cfg.lf_table_spread,
+                    min_halfwidth=cfg.lf_table_min_halfwidth,
+                    table_dtype=cfg.lf_table_dtype,
+                    box_size=cfg.lf_table_box,
+                    ray_sharding=ray_sharding,
+                )
+
+            prep_shape = jax.eval_shape(_prep, field)
+            prep = jax.lax.cond(
+                converged,
+                _prep,
+                lambda f: jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), prep_shape
+                ),
+                field,
+            )
+            lw_t = measurement.lf_table_lookup(
+                prep,
+                state.particles.pose,
+                scan,
+                rc=rc,
+                scanner_offset=cfg.scanner_offset,
+                z_rand=cfg.lf_z_rand,
+                grid_shape=field.edt.shape,
+            )
+            lw_d = jax.lax.cond(
+                converged, lambda f: jnp.zeros_like(lw_t), _direct, field
+            )
+            lw = jnp.where(converged, lw_t, lw_d)
         else:
             lw = _direct(field)
     else:

@@ -65,6 +65,7 @@ def step(
     lf_meas = cfg.mcl.measurement in (
         "likelihood_field",
         "likelihood_field_table",
+        "likelihood_field_auto",
     )
     lf_field = None
     if lf_meas or cfg.scanmatch is not None:
@@ -145,18 +146,107 @@ def predict_only(state: SLAMState, odom: Odometry, cfg: SLAMConfig) -> SLAMState
 
 
 class GridSLAM:
-    """Jitted wrapper; cfg held static."""
+    """Jitted wrapper; cfg held static.
+
+    For ``measurement="likelihood_field_auto"`` the tier dispatch runs on
+    the HOST with a one-step-lagged predicate instead of the in-program
+    `lax.cond`: two conditional-free jitted steps (boxed table / direct
+    LF) plus a tiny predicate program whose value — computed during the
+    PREVIOUS step's gap, so the fetch is free — picks the jit. The
+    in-program cond is correct but de-pipelines chained dispatch on the
+    tunneled runtime (measured 30 -> 167 ms/step at 1M; a dispatch
+    artifact, not compute — the same program unchained runs at 27.8 ms).
+    The one-step lag is harmless: the tier predicate is a cloud-spread
+    property that changes over many steps. The pure-jit auto path remains
+    for single-program contexts (sharded engines, direct slam.step use).
+    """
 
     def __init__(self, cfg: SLAMConfig, seed: int = 0):
         self.cfg = cfg
-        self._step = jax.jit(lambda s, o, z: step(s, o, z, cfg))
+        self._auto_host = cfg.mcl.measurement == "likelihood_field_auto"
+        if self._auto_host:
+            import dataclasses as _dc
+
+            cfg_t = _dc.replace(
+                cfg,
+                mcl=_dc.replace(cfg.mcl, measurement="likelihood_field_table"),
+            )
+            cfg_d = _dc.replace(
+                cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field")
+            )
+            self._step_table = jax.jit(lambda s, o, z: step(s, o, z, cfg_t))
+            self._step_direct = jax.jit(lambda s, o, z: step(s, o, z, cfg_d))
+
+            def _pred(s):
+                from slam_tpu.ops.measurement import sensor_pose
+
+                sp = sensor_pose(s.mcl.particles.pose, cfg.mcl.scanner_offset)
+                c = jnp.mean(jnp.cos(sp.theta))
+                si = jnp.mean(jnp.sin(sp.theta))
+                rbar = jnp.clip(jnp.sqrt(c * c + si * si), 1e-7, 1.0 - 1e-7)
+                cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+                halfwidth = (
+                    cfg.mcl.lf_table_spread * cstd
+                    + cfg.mcl.lf_table_min_halfwidth
+                )
+                box_eff = (
+                    float(cfg.mcl.lf_table_box)
+                    if cfg.mcl.lf_table_box is not None
+                    else float(min(cfg.map.shape))
+                )
+                return (
+                    (halfwidth <= cfg.mcl.lf_auto_max_halfwidth)
+                    & (cfg.mcl.lf_auto_sigma * jnp.std(sp.x) <= box_eff / 2.0)
+                    & (cfg.mcl.lf_auto_sigma * jnp.std(sp.y) <= box_eff / 2.0)
+                )
+
+            self._predicate = jax.jit(_pred)
+            self._pending_pred = None
+            # Re-evaluate the tier every k steps: the predicate is a
+            # cloud-spread property that changes over tens of steps, and on
+            # a tunneled runtime every host fetch costs a round trip
+            # (~25-30 ms) even for a ready value — at check_every=4 the
+            # amortized cost is a few ms and the switch lag stays small.
+            self.auto_check_every = 4
+            self._auto_tick = 0
+            self._auto_converged = None
+        else:
+            self._step = jax.jit(lambda s, o, z: step(s, o, z, cfg))
         self._predict = jax.jit(lambda s, o: predict_only(s, o, cfg))
         self._key = jax.random.key(seed)
 
     def init(self, pose: Pose | None = None) -> SLAMState:
+        if self._auto_host:
+            self._pending_pred = None
+            self._auto_tick = 0
+            self._auto_converged = None
         return init(self._key, self.cfg, pose)
 
     def step(self, state, odom: Odometry, scan: Scan) -> SLAMState:
+        if self._auto_host:
+            # Lagged tier pick: the predicate of a PREVIOUS state was
+            # dispatched earlier and prefetched to host during the gap;
+            # re-checked every auto_check_every steps.
+            if self._auto_converged is None:
+                self._auto_converged = bool(self._predicate(state))
+            elif self._pending_pred is not None:
+                self._auto_converged = bool(self._pending_pred)
+                self._pending_pred = None
+            fn = (
+                self._step_table
+                if self._auto_converged
+                else self._step_direct
+            )
+            out = fn(state, odom, scan)
+            self._auto_tick += 1
+            if self._auto_tick % self.auto_check_every == 0:
+                p = self._predicate(out)
+                try:
+                    p.copy_to_host_async()
+                except AttributeError:
+                    pass
+                self._pending_pred = p
+            return out
         return self._step(state, odom, scan)
 
     def predict(self, state, odom: Odometry) -> SLAMState:

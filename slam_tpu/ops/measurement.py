@@ -410,6 +410,57 @@ def particle_log_weights_lf_table(
     one ~T*H*W*4 B all-gather on ICI). All per-particle arrays are [N] and
     keep the particle sharding as usual.
     """
+    field = as_ray_field(field, rc)
+    prep = lf_table_prepare(
+        field,
+        poses,
+        scan,
+        rc=rc,
+        scanner_offset=scanner_offset,
+        stddev=stddev,
+        z_hit=z_hit,
+        z_rand=z_rand,
+        table_bins=table_bins,
+        spread_mult=spread_mult,
+        min_halfwidth=min_halfwidth,
+        table_dtype=table_dtype,
+        box_size=box_size,
+        ray_sharding=ray_sharding,
+    )
+    return lf_table_lookup(
+        prep,
+        poses,
+        scan,
+        rc=rc,
+        scanner_offset=scanner_offset,
+        z_rand=z_rand,
+        grid_shape=field.edt.shape,
+    )
+
+
+def lf_table_prepare(
+    field,
+    poses: Pose,
+    scan: Scan,
+    *,
+    rc: RaycastConfig = RaycastConfig(),
+    scanner_offset=(0.0, 0.0, 0.0),
+    stddev: float = 5.0,
+    z_hit: float = 0.95,
+    z_rand: float = 0.05,
+    table_bins: int = 32,
+    spread_mult: float = 4.0,
+    min_halfwidth: float = 0.02,
+    table_dtype: str = "f32",
+    box_size=None,
+    ray_sharding=None,
+):
+    """Particle-count-independent half of `particle_log_weights_lf_table`:
+    heading window + box origin + score-table build. Returns the ``prep``
+    tuple `lf_table_lookup` consumes: ``(tbl[si, sj, T] bins-last, mu,
+    binw, halfwidth, i0, j0)``. Split out so the auto measurement tier can
+    gate the build in a `lax.cond` while the N-particle lookup stays in
+    the main computation (see `lf_table_lookup`)."""
     bin_sharding = None
     if ray_sharding is not None:
         try:
@@ -467,15 +518,46 @@ def particle_log_weights_lf_table(
         origin=origin, out_shape=out_shape,
     )
 
-    # One-gather lookup: sensor cell, lerp between adjacent heading bins.
-    # The table transposes to bins-LAST [H, W, T] so the (t0, t0+1) lerp
-    # pair is CONTIGUOUS and both values ride ONE 2-element dynamic-slice
-    # gather per particle (at 1M particles the lookup gathers are most of
-    # the 48 ms table phase — same scattered-gather floor as the roofline's
-    # panorama rows). Indexing is multi-dim (no flat t*H*W + i*w + j word,
-    # which would overflow int32 at table_bins * H * W >= 2^31 — 32 bins on
-    # a ~8192^2 map, exactly the big-map regime this path targets).
     tbl = jnp.moveaxis(table, 0, -1)  # [si, sj, T], one transpose per scan
+    return (tbl, mu, binw, halfwidth, i0, j0)
+
+
+def lf_table_lookup(
+    prep,
+    poses: Pose,
+    scan: Scan,
+    *,
+    rc: RaycastConfig,
+    scanner_offset=(0.0, 0.0, 0.0),
+    z_rand: float = 0.05,
+    grid_shape=None,
+):
+    """Per-particle lookup half of `particle_log_weights_lf_table`.
+
+    ``prep`` is ``(tbl[si, sj, T] bins-last, mu, binw, halfwidth, i0, j0)``
+    — everything particle-count-independent. Split out so the auto tier's
+    `lax.cond` can gate the BUILD alone: lowering the N-particle pair
+    gather inside a cond branch de-optimizes it (measured 30 -> 231 ms at
+    1M, round 4); hoisted into the main computation it stays at the gather
+    floor. One-gather lookup: sensor cell, lerp between adjacent heading
+    bins. The bins-LAST table puts the (t0, t0+1) lerp pair side by side
+    so both values ride ONE 2-element dynamic-slice gather per particle
+    (at 1M the lookup gathers are most of the table phase — the same
+    scattered-gather floor as the roofline's panorama rows). Indexing is
+    multi-dim (no flat t*H*W + i*w + j word, which would overflow int32 at
+    table_bins * H * W >= 2^31 — 32 bins on a ~8192^2 map, exactly the
+    big-map regime this path targets).
+    """
+    from slam_tpu.core import grid as gridlib
+
+    tbl, mu, binw, halfwidth, i0, j0 = prep
+    si, sj, t = tbl.shape
+    h, w = grid_shape
+    sp = sensor_pose(poses, scanner_offset)
+    # Guard against an all-zeros prep (the auto tier's untaken-branch
+    # placeholder): binw = 0 would make d / binw NaN at d = 0 and poison
+    # the int cast; the where() below discards these lanes either way.
+    binw = jnp.where(binw > 0, binw, 1.0)
     i, j = gridlib.world_to_cell((h, w), sp.x, sp.y)
     ic, jc = gridlib.clamp_cell((h, w), i, j)
     # Box-local row/col; out-of-box particles take the floor (below).

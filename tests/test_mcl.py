@@ -465,6 +465,66 @@ def test_auto_tier_global_localization_converges():
     )
 
 
+def test_auto_tier_host_dispatch_grid_slam():
+    """GridSLAM's host-lagged auto dispatch: a dispersed cloud steps
+    bit-identically to the forced-direct engine, a converged one to the
+    forced-table engine (the wrapper literally runs those jits), and the
+    lagged predicate flips tiers as the cloud converges."""
+    import dataclasses as dc
+
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+    from slam_tpu.models.simulate import synthetic_room
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=256, meas_stddev=3.0,
+            measurement="likelihood_field_auto", lf_table_box=32,
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(max_dist=60.0, n_rays=24),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, backend="sdf"),
+    )
+    start = Pose.create(40.0, 40.0, 0.3)
+    odom = Odometry.create(0.05, 1.5, 0.05)
+
+    def disperse(state):
+        rs = np.random.RandomState(7)
+        pp = state.mcl.particles
+        pose = Pose(
+            x=jnp.asarray(rs.uniform(5, w - 5, pp.n), jnp.float32),
+            y=jnp.asarray(rs.uniform(5, h - 5, pp.n), jnp.float32),
+            theta=jnp.asarray(rs.uniform(-np.pi, np.pi, pp.n), jnp.float32),
+        )
+        return state.replace(mcl=state.mcl.replace(
+            particles=pp.replace(pose=pose)))
+
+    scan = fake_lidar.scan(blocked, start, cfg.lidar, cfg.raycast)
+
+    for pose_prep, forced_meas in (
+        (disperse, "likelihood_field"),
+        (lambda s: s, "likelihood_field_table"),
+    ):
+        auto_engine = slam_mod.GridSLAM(cfg, seed=0)
+        st_a = pose_prep(auto_engine.init(start))
+        out_a = auto_engine.step(st_a, odom, scan)
+
+        forced = slam_mod.GridSLAM(
+            dc.replace(cfg, mcl=dc.replace(cfg.mcl, measurement=forced_meas)),
+            seed=0,
+        )
+        out_f = forced.step(pose_prep(forced.init(start)), odom, scan)
+        np.testing.assert_array_equal(
+            np.asarray(out_a.mcl.particles.log_weight),
+            np.asarray(out_f.mcl.particles.log_weight),
+        )
+        # The tier flag matches the cloud regime that selected forced_meas.
+        assert auto_engine._auto_converged == (
+            forced_meas == "likelihood_field_table"
+        )
+
+
 def test_first_update_uninformative_fallback():
     """The first SLAM update runs against an EMPTY grid: every particle
     scores the z_rand floor, argmax-of-uniform-weights is an arbitrary
