@@ -145,108 +145,112 @@ def predict_only(state: SLAMState, odom: Odometry, cfg: SLAMConfig) -> SLAMState
     return state.replace(mcl=mcl_mod.predict(state.mcl, odom, cfg.motion.alphas))
 
 
-class GridSLAM:
-    """Jitted wrapper; cfg held static.
+class AutoTierDispatcher:
+    """Host-lagged tier dispatch for ``measurement="likelihood_field_auto"``.
 
-    For ``measurement="likelihood_field_auto"`` the tier dispatch runs on
-    the HOST with a one-step-lagged predicate instead of the in-program
-    `lax.cond`: two conditional-free jitted steps (boxed table / direct
-    LF) plus a tiny predicate program whose value — computed during the
-    PREVIOUS step's gap, so the fetch is free — picks the jit. The
-    in-program cond is correct but de-pipelines chained dispatch on the
-    tunneled runtime (measured 30 -> 167 ms/step at 1M; a dispatch
-    artifact, not compute — the same program unchained runs at 27.8 ms).
-    The one-step lag is harmless: the tier predicate is a cloud-spread
-    property that changes over many steps. The pure-jit auto path remains
-    for single-program contexts (sharded engines, direct slam.step use).
+    Instead of the in-program `lax.cond` (correct, but chained dispatch of
+    a program with data-dependent conditionals de-pipelines on the
+    tunneled runtime: 30 -> 167-237 ms/step at 1M — a dispatch artifact,
+    not compute; the same program unchained runs at 27.8 ms), host
+    wrappers keep TWO conditional-free jitted steps (boxed table / direct
+    LF) plus a tiny predicate program. The predicate of a previous state
+    is prefetched to host (`copy_to_host_async`) during the step gap and
+    re-checked every ``check_every`` steps, so the per-step fetch cost is
+    one tunnel round trip amortized over ``check_every`` (microseconds on
+    a local TPU deployment). The lag is harmless: the tier predicate is a
+    cloud-spread property that changes over tens of steps. The pure-jit
+    `lax.cond` auto path remains for single-program contexts.
+
+    ``make_step(cfg) -> fn(state, odom, scan)`` builds the engine's jitted
+    step for a forced-measurement config (the sharded engine closes its
+    shardings and resampler over it).
     """
+
+    def __init__(self, cfg: SLAMConfig, make_step, check_every: int = 4):
+        import dataclasses as _dc
+
+        self._step_table = make_step(_dc.replace(
+            cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field_table")
+        ))
+        self._step_direct = make_step(_dc.replace(
+            cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field")
+        ))
+
+        def _pred(s):
+            from slam_tpu.ops.measurement import sensor_pose
+
+            sp = sensor_pose(s.mcl.particles.pose, cfg.mcl.scanner_offset)
+            c = jnp.mean(jnp.cos(sp.theta))
+            si = jnp.mean(jnp.sin(sp.theta))
+            rbar = jnp.clip(jnp.sqrt(c * c + si * si), 1e-7, 1.0 - 1e-7)
+            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+            halfwidth = (
+                cfg.mcl.lf_table_spread * cstd
+                + cfg.mcl.lf_table_min_halfwidth
+            )
+            box_eff = (
+                float(cfg.mcl.lf_table_box)
+                if cfg.mcl.lf_table_box is not None
+                else float(min(cfg.map.shape))
+            )
+            return (
+                (halfwidth <= cfg.mcl.lf_auto_max_halfwidth)
+                & (cfg.mcl.lf_auto_sigma * jnp.std(sp.x) <= box_eff / 2.0)
+                & (cfg.mcl.lf_auto_sigma * jnp.std(sp.y) <= box_eff / 2.0)
+            )
+
+        self._predicate = jax.jit(_pred)
+        self.check_every = check_every
+        self.reset()
+
+    def reset(self):
+        self._pending = None
+        self._tick = 0
+        self.converged = None
+
+    def step(self, state, odom, scan):
+        if self.converged is None:
+            self.converged = bool(self._predicate(state))
+        elif self._pending is not None:
+            self.converged = bool(self._pending)
+            self._pending = None
+        fn = self._step_table if self.converged else self._step_direct
+        out = fn(state, odom, scan)
+        self._tick += 1
+        if self._tick % self.check_every == 0:
+            p = self._predicate(out)
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending = p
+        return out
+
+
+class GridSLAM:
+    """Jitted wrapper; cfg held static. ``likelihood_field_auto`` uses the
+    host-lagged `AutoTierDispatcher` (see its docstring)."""
 
     def __init__(self, cfg: SLAMConfig, seed: int = 0):
         self.cfg = cfg
-        self._auto_host = cfg.mcl.measurement == "likelihood_field_auto"
-        if self._auto_host:
-            import dataclasses as _dc
-
-            cfg_t = _dc.replace(
-                cfg,
-                mcl=_dc.replace(cfg.mcl, measurement="likelihood_field_table"),
+        self._auto = None
+        if cfg.mcl.measurement == "likelihood_field_auto":
+            self._auto = AutoTierDispatcher(
+                cfg, lambda c: jax.jit(lambda s, o, z: step(s, o, z, c))
             )
-            cfg_d = _dc.replace(
-                cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field")
-            )
-            self._step_table = jax.jit(lambda s, o, z: step(s, o, z, cfg_t))
-            self._step_direct = jax.jit(lambda s, o, z: step(s, o, z, cfg_d))
-
-            def _pred(s):
-                from slam_tpu.ops.measurement import sensor_pose
-
-                sp = sensor_pose(s.mcl.particles.pose, cfg.mcl.scanner_offset)
-                c = jnp.mean(jnp.cos(sp.theta))
-                si = jnp.mean(jnp.sin(sp.theta))
-                rbar = jnp.clip(jnp.sqrt(c * c + si * si), 1e-7, 1.0 - 1e-7)
-                cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
-                halfwidth = (
-                    cfg.mcl.lf_table_spread * cstd
-                    + cfg.mcl.lf_table_min_halfwidth
-                )
-                box_eff = (
-                    float(cfg.mcl.lf_table_box)
-                    if cfg.mcl.lf_table_box is not None
-                    else float(min(cfg.map.shape))
-                )
-                return (
-                    (halfwidth <= cfg.mcl.lf_auto_max_halfwidth)
-                    & (cfg.mcl.lf_auto_sigma * jnp.std(sp.x) <= box_eff / 2.0)
-                    & (cfg.mcl.lf_auto_sigma * jnp.std(sp.y) <= box_eff / 2.0)
-                )
-
-            self._predicate = jax.jit(_pred)
-            self._pending_pred = None
-            # Re-evaluate the tier every k steps: the predicate is a
-            # cloud-spread property that changes over tens of steps, and on
-            # a tunneled runtime every host fetch costs a round trip
-            # (~25-30 ms) even for a ready value — at check_every=4 the
-            # amortized cost is a few ms and the switch lag stays small.
-            self.auto_check_every = 4
-            self._auto_tick = 0
-            self._auto_converged = None
         else:
             self._step = jax.jit(lambda s, o, z: step(s, o, z, cfg))
         self._predict = jax.jit(lambda s, o: predict_only(s, o, cfg))
         self._key = jax.random.key(seed)
 
     def init(self, pose: Pose | None = None) -> SLAMState:
-        if self._auto_host:
-            self._pending_pred = None
-            self._auto_tick = 0
-            self._auto_converged = None
+        if self._auto is not None:
+            self._auto.reset()
         return init(self._key, self.cfg, pose)
 
     def step(self, state, odom: Odometry, scan: Scan) -> SLAMState:
-        if self._auto_host:
-            # Lagged tier pick: the predicate of a PREVIOUS state was
-            # dispatched earlier and prefetched to host during the gap;
-            # re-checked every auto_check_every steps.
-            if self._auto_converged is None:
-                self._auto_converged = bool(self._predicate(state))
-            elif self._pending_pred is not None:
-                self._auto_converged = bool(self._pending_pred)
-                self._pending_pred = None
-            fn = (
-                self._step_table
-                if self._auto_converged
-                else self._step_direct
-            )
-            out = fn(state, odom, scan)
-            self._auto_tick += 1
-            if self._auto_tick % self.auto_check_every == 0:
-                p = self._predicate(out)
-                try:
-                    p.copy_to_host_async()
-                except AttributeError:
-                    pass
-                self._pending_pred = p
-            return out
+        if self._auto is not None:
+            return self._auto.step(state, odom, scan)
         return self._step(state, odom, scan)
 
     def predict(self, state, odom: Odometry) -> SLAMState:

@@ -126,21 +126,37 @@ class ShardedGridSLAM:
         self.mesh = mesh
         self.cfg = cfg
         rs = ray_sharding(mesh)
-        rfn = _resample_fn(mesh, cfg.mcl)
-        self._step = jax.jit(
-            lambda s, o, z: slam_mod.step(
-                s, o, z, cfg, ray_sharding=rs, resample_fn=rfn
+
+        def make_step(c):
+            rfn = _resample_fn(mesh, c.mcl)
+            return jax.jit(
+                lambda s, o, z: slam_mod.step(
+                    s, o, z, c, ray_sharding=rs, resample_fn=rfn
+                )
             )
-        )
+
+        self._auto = None
+        if cfg.mcl.measurement == "likelihood_field_auto":
+            # Host-lagged tier dispatch (slam.AutoTierDispatcher): the
+            # in-program lax.cond de-pipelines chained dispatch on the
+            # tunneled runtime; the predicate's reductions psum over the
+            # sharded particle axis like every other cloud statistic.
+            self._auto = slam_mod.AutoTierDispatcher(cfg, make_step)
+        else:
+            self._step = make_step(cfg)
         self._predict = jax.jit(
             lambda s, o: slam_mod.predict_only(s, o, cfg)
         )
 
     def init(self, pose: Pose | None = None, seed: int = 0) -> slam_mod.SLAMState:
+        if self._auto is not None:
+            self._auto.reset()
         state = slam_mod.init(jax.random.key(seed), self.cfg, pose)
         return shard_state(state, self.mesh, self.cfg.mcl.n_particles)
 
     def step(self, state, odom: Odometry, scan: Scan):
+        if self._auto is not None:
+            return self._auto.step(state, odom, scan)
         return self._step(state, odom, scan)
 
     def predict(self, state, odom: Odometry):

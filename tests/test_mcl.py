@@ -520,7 +520,7 @@ def test_auto_tier_host_dispatch_grid_slam():
             np.asarray(out_f.mcl.particles.log_weight),
         )
         # The tier flag matches the cloud regime that selected forced_meas.
-        assert auto_engine._auto_converged == (
+        assert auto_engine._auto.converged == (
             forced_meas == "likelihood_field_table"
         )
 

@@ -134,6 +134,42 @@ def test_sharded_slam_lf_table_matches_single_device(table_box):
     assert shard_shape[0] == N // 4
 
 
+def test_sharded_auto_tier_matches_forced_table():
+    """ShardedGridSLAM with measurement='likelihood_field_auto' (the
+    host-lagged AutoTierDispatcher): a converged cloud steps bit-identically
+    to the forced-table sharded engine — the dispatcher literally runs that
+    jit — and the predicate's reductions psum over the sharded axis."""
+    import dataclasses as dc
+
+    blocked, pose, scan, _ = _scene()
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=N,
+            measurement="likelihood_field_auto",
+            lf_table_box=40,
+            ess_threshold=0.0,
+        ),
+        map=MapConfig(height=H, width=W),
+        lidar=LidarConfig(n_rays=16, max_dist=100.0),
+        raycast=RaycastConfig(max_dist=100.0, chunk=32, backend="sdf"),
+    )
+    odom = Odometry.create(0.05, 2.0, 0.05)
+    mesh = make_mesh(8, beam_axis=2)
+
+    auto = ShardedGridSLAM(mesh, cfg)
+    st_a = auto.step(auto.init(pose), odom, scan)
+    assert auto._auto.converged is True
+
+    forced = ShardedGridSLAM(mesh, dc.replace(
+        cfg, mcl=dc.replace(cfg.mcl, measurement="likelihood_field_table")
+    ))
+    st_f = forced.step(forced.init(pose), odom, scan)
+    np.testing.assert_array_equal(
+        np.asarray(st_a.mcl.particles.log_weight),
+        np.asarray(st_f.mcl.particles.log_weight),
+    )
+
+
 def test_distributed_helpers_single_process():
     from slam_tpu.parallel import distributed
 
