@@ -56,6 +56,79 @@ def bench_mcl(args):
     B.main()
 
 
+def bench_slam(args):
+    """The round-4 production full-SLAM config: 1M particles, boxed
+    correlative table, resample_every=4, map_pose=mode — sustained
+    pipelined step + rate on the floor plan (RESULTS.md "Full SLAM").
+    Not a reference config (the C++ RBPF cannot reach this regime); the
+    comparison row is the reference's own 25-particle MCL throughput."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MCLConfig,
+        MotionConfig,
+        RaycastConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+    from slam_tpu.ops.measurement import sensor_pose
+    from slam_tpu.utils.profiling import fence
+
+    blocked = jnp.asarray(floor_plan())
+    lidar = LidarConfig(start=0.0, stop=math.pi, max_dist=500.0, n_rays=90)
+    rc = RaycastConfig(step=0.5, max_dist=500.0, backend="sdf")
+    n = args.slam_particles
+    cfg = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=n,
+            meas_stddev=5.0,
+            measurement="likelihood_field_table",
+            lf_table_box=128,
+            resample_every=4,
+        ),
+        lidar=lidar,
+        motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
+        raycast=rc,
+        map_pose="mode",
+    )
+    engine = slam_mod.GridSLAM(cfg, seed=0)
+    start = Pose.create(400.0, 400.0, math.pi)
+    state = engine.init(start)
+    odom = Odometry.create(0.02, 2.5, 0.02)
+    scan = fake_lidar.scan(
+        blocked, sensor_pose(start, cfg.mcl.scanner_offset), lidar, rc
+    )
+    st = engine.step(state, odom, scan)
+    fence(st)
+    for _ in range(3):
+        st = engine.step(st, odom, scan)
+    fence(st)
+    t0 = _t.perf_counter()
+    for _ in range(args.iters * 4):
+        st = engine.step(st, odom, scan)
+    fence(st)
+    per = (_t.perf_counter() - t0) / (args.iters * 4)
+    emit(
+        f"slam_production_step_ms_{n // 1000}k",
+        per * 1e3,
+        "ms",
+        extra=f"full SLAM (mapping every step) {n} particles: "
+        f"{per * 1e3:.1f} ms/step = {1 / per:.1f} Hz on one chip "
+        "(box table + resample_every=4 + map_pose=mode)",
+    )
+    emit(
+        "slam_production_particle_updates_per_s",
+        n / per,
+        "pu/s",
+        baseline=_BASELINES.get("ref_mcl_best_particle_updates_per_s"),
+    )
+
+
 def _ij_to_world(h, i, j):
     return float(j), float(h - i)
 
@@ -279,8 +352,11 @@ def bench_spatial(args):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("which", nargs="+", choices=["mcl", "hastar", "rrtstar", "spatial", "all"])
+    ap.add_argument("which", nargs="+",
+                    choices=["mcl", "hastar", "rrtstar", "spatial", "slam",
+                             "all"])
     ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--slam-particles", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hastar-batch", type=int, default=512)
     ap.add_argument(
@@ -312,6 +388,8 @@ def main():
         bench_rrtstar(args)
     if "spatial" in which:
         bench_spatial(args)
+    if "slam" in which:
+        bench_slam(args)
 
 
 if __name__ == "__main__":
