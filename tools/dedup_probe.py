@@ -255,9 +255,28 @@ def main():
                 .set(lw_u[jnp.minimum(seg, args.k - 1)])
             )
 
+        def permuted_filter(poses, fld):
+            # Round-4 follow-up: a particle SET is order-free, so a filter
+            # may PERMUTE its whole state into key order instead of routing
+            # weights back — the inverse-permutation scatter (one of the two
+            # N-index ops that made dedup neutral) disappears. Honest cost:
+            # sort keys + apply the permutation to the full particle state
+            # (one packed 4-field gather, like the resampler's) + the
+            # N-gather of unique scores through the segment map. Returns the
+            # permuted state WITH the weights so nothing dead-code-eliminates.
+            from slam_tpu.ops.resample import gather_pose_packed
+
+            key = keys_of(poses)
+            ukey, seg, order, _ = unique_compact(key, args.k)
+            lw_u = score_unique(ukey, fld.lut)
+            lw_sorted = lw_u[jnp.minimum(seg, args.k - 1)]
+            poses_sorted = gather_pose_packed(poses, order)
+            return lw_sorted, poses_sorted
+
         variants = {
             "baseline_fused": jax.jit(baseline),
             "dedup": jax.jit(lambda p, fld: dedup(p, fld.lut)[0]),
+            "permuted_filter": jax.jit(permuted_filter),
             "sort_component": jax.jit(lambda p, fld: sort_only(p)),
             "sort_unique_score_component": jax.jit(unique_score_only),
             "sort_routeback_component": jax.jit(routeback_only),
@@ -378,6 +397,17 @@ def main():
                 f"dedup weights mismatch on {cloud_name}: "
                 f"max abs diff {np.max(np.abs(wb - wd))}"
             )
+            if "permuted_filter" in variants:
+                lw_s, _ = variants["permuted_filter"](poses, big)
+                key = jax.jit(keys_of)(poses)
+                order = np.asarray(
+                    jax.lax.sort_key_val(
+                        key, jnp.arange(key.shape[0], dtype=jnp.int32)
+                    )[1]
+                )
+                assert np.allclose(
+                    np.asarray(lw_s), wb[order], rtol=2e-3, atol=2e-3
+                ), f"permuted weights mismatch on {cloud_name}"
         timings = {}
         for name, fn in variants.items():
             if overflow and name == "dedup":
