@@ -178,6 +178,18 @@ class MCLConfig:
     # same results, no cond in the program.
     lf_auto_max_halfwidth: float = 0.6
     lf_auto_sigma: float = 4.0
+
+    def __post_init__(self):
+        if self.lf_table_box is not None and self.lf_table_box < 1:
+            raise ValueError(
+                f"lf_table_box must be >= 1 cells or None (dense build), "
+                f"got {self.lf_table_box} — a degenerate box floors every "
+                "particle"
+            )
+        if self.resample_every < 1:
+            raise ValueError(
+                f"resample_every must be >= 1, got {self.resample_every}"
+            )
     # Storage dtype of the padded per-cell score field the build slides
     # windows over. MEASURED NEGATIVE, keep "f32": on-chip at 1M the bf16
     # build is NOT faster (19.4 vs 18.7 ms — the window reads aren't the
@@ -279,6 +291,32 @@ class ScanMatchConfig:
     coarse_theta_halfwidth: float = 0.25
     coarse_theta_bins: int = 11
 
+    def __post_init__(self):
+        if self.coarse_window > 0:
+            # The cannot-skip guarantee needs the fine window to cover a
+            # coarse block: the coarse argmax returns a block CENTER whose
+            # residual from the true peak can be up to (stride-1)/2 cells
+            # (and half a coarse heading step), so the fine search must
+            # reach at least that far.
+            if self.coarse_stride > 2 * self.window + 1:
+                raise ValueError(
+                    f"coarse_stride {self.coarse_stride} exceeds the fine "
+                    f"window's reach 2*window+1 = {2 * self.window + 1}: "
+                    "the fine level could not reach the true peak inside "
+                    "the winning coarse block"
+                )
+            coarse_step = (
+                2.0 * self.coarse_theta_halfwidth
+                / max(1, self.coarse_theta_bins - 1)
+            )
+            if coarse_step > 2.0 * self.theta_halfwidth:
+                raise ValueError(
+                    f"coarse heading step {coarse_step:.4f} exceeds the "
+                    f"fine level's span 2*theta_halfwidth = "
+                    f"{2 * self.theta_halfwidth:.4f}: raise "
+                    "coarse_theta_bins or theta_halfwidth"
+                )
+
 
 @dataclasses.dataclass(frozen=True)
 class SLAMConfig:
@@ -308,6 +346,15 @@ class SLAMConfig:
     # the map update only when `ScanMatchConfig.mapping` is True (default
     # False — measured worse closed-loop; see ScanMatchConfig.mapping).
     scanmatch: Optional[ScanMatchConfig] = None
+
+    def __post_init__(self):
+        if self.map_pose not in ("best", "mean", "mode"):
+            # A typo'd estimator name would silently fall through to the
+            # "best" branch and record a sweep under the wrong label.
+            raise ValueError(
+                f"map_pose must be 'best', 'mean', or 'mode', got "
+                f"{self.map_pose!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,7 +50,14 @@ class MCLState:
     # Augmented-MCL likelihood EMAs, in log space.
     log_w_slow: jax.Array
     log_w_fast: jax.Array
+    # Predict-frame counter (one per motion prediction).
     step: jax.Array
+    # Update counter (one per measurement update): the every-k throttles
+    # (`MCLConfig.resample_every`, `SLAMConfig.map_every`) count UPDATES,
+    # not frames — under `update_every > 1` a frame counter would silently
+    # change (or nullify) their period because every update lands on a
+    # multiple of update_every.
+    updates: jax.Array
 
 
 def starting_pose(h: int, w: int) -> Pose:
@@ -70,6 +77,7 @@ def init(key, n_particles: int, pose: Pose) -> MCLState:
         log_w_slow=jnp.float32(jnp.nan),
         log_w_fast=jnp.float32(jnp.nan),
         step=jnp.int32(0),
+        updates=jnp.int32(0),
     )
 
 
@@ -192,29 +200,9 @@ def update(
             # both the 4-sigma heading window and the k-sigma spatial
             # extent are tight, direct likelihood field otherwise. Both
             # branches compile once; each step executes only the taken one.
-            sp = measurement.sensor_pose(
-                state.particles.pose, cfg.scanner_offset
-            )
-            c = jnp.mean(jnp.cos(sp.theta))
-            s = jnp.mean(jnp.sin(sp.theta))
-            rbar = jnp.clip(
-                jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7
-            )
-            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
-            halfwidth = (
-                cfg.lf_table_spread * cstd + cfg.lf_table_min_halfwidth
-            )
-            sx = jnp.std(sp.x)
-            sy = jnp.std(sp.y)
-            box_eff = (
-                float(cfg.lf_table_box)
-                if cfg.lf_table_box is not None
-                else float(min(field.edt.shape))
-            )
-            converged = (
-                (halfwidth <= cfg.lf_auto_max_halfwidth)
-                & (cfg.lf_auto_sigma * sx <= box_eff / 2.0)
-                & (cfg.lf_auto_sigma * sy <= box_eff / 2.0)
+            converged = measurement.lf_auto_converged(
+                state.particles.pose, cfg, field.edt.shape,
+                scanner_offset=cfg.scanner_offset,
             )
 
             # Gate only the PARTICLE-COUNT-INDEPENDENT halves in the cond:
@@ -332,7 +320,7 @@ def update(
 
     do_it = ess <= cfg.ess_threshold * n
     if cfg.resample_every > 1:
-        do_it = do_it & (state.step % cfg.resample_every == 0)
+        do_it = do_it & (state.updates % cfg.resample_every == 0)
     particles = jax.lax.cond(do_it, do_resample, lambda p: p, particles)
 
     log_w_slow, log_w_fast = state.log_w_slow, state.log_w_fast
@@ -375,6 +363,7 @@ def update(
         mode_pose=mode_pose,
         log_w_slow=log_w_slow,
         log_w_fast=log_w_fast,
+        updates=state.updates + 1,
     )
 
 

@@ -134,7 +134,7 @@ def step(
         l_min=cfg.map.l_min,
         l_max=cfg.map.l_max,
     )
-    do_map = (st.step % cfg.map_every) == 0
+    do_map = (st.updates % cfg.map_every) == 0
     new_grid = jnp.where(do_map, new_grid, state.grid)
     return SLAMState(mcl=st, grid=new_grid, est_pose=est_pose)
 
@@ -157,16 +157,22 @@ class AutoTierDispatcher:
     is prefetched to host (`copy_to_host_async`) during the step gap and
     re-checked every ``check_every`` steps, so the per-step fetch cost is
     one tunnel round trip amortized over ``check_every`` (microseconds on
-    a local TPU deployment). The lag is harmless: the tier predicate is a
-    cloud-spread property that changes over tens of steps. The pure-jit
-    `lax.cond` auto path remains for single-program contexts.
+    a local TPU deployment). The lag is acceptable for SLOW tier
+    transitions (gradual spread growth, convergence after global
+    localization); for the FAST transition — kidnap recovery, where
+    `MCLConfig.adaptive` injection disperses the cloud in one step and
+    lagged table steps would floor the injected particles out of the box
+    for up to check_every+1 updates — ``check_every`` defaults to 1
+    whenever ``cfg.mcl.adaptive`` is set, trading one fetch round trip
+    per step for prompt switching. The pure-jit `lax.cond` auto path
+    (no lag at all) remains for single-program contexts.
 
     ``make_step(cfg) -> fn(state, odom, scan)`` builds the engine's jitted
     step for a forced-measurement config (the sharded engine closes its
     shardings and resampler over it).
     """
 
-    def __init__(self, cfg: SLAMConfig, make_step, check_every: int = 4):
+    def __init__(self, cfg: SLAMConfig, make_step, check_every: int | None = None):
         import dataclasses as _dc
 
         self._step_table = make_step(_dc.replace(
@@ -175,28 +181,15 @@ class AutoTierDispatcher:
         self._step_direct = make_step(_dc.replace(
             cfg, mcl=_dc.replace(cfg.mcl, measurement="likelihood_field")
         ))
+        if check_every is None:
+            check_every = 1 if cfg.mcl.adaptive is not None else 4
 
         def _pred(s):
-            from slam_tpu.ops.measurement import sensor_pose
+            from slam_tpu.ops.measurement import lf_auto_converged
 
-            sp = sensor_pose(s.mcl.particles.pose, cfg.mcl.scanner_offset)
-            c = jnp.mean(jnp.cos(sp.theta))
-            si = jnp.mean(jnp.sin(sp.theta))
-            rbar = jnp.clip(jnp.sqrt(c * c + si * si), 1e-7, 1.0 - 1e-7)
-            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
-            halfwidth = (
-                cfg.mcl.lf_table_spread * cstd
-                + cfg.mcl.lf_table_min_halfwidth
-            )
-            box_eff = (
-                float(cfg.mcl.lf_table_box)
-                if cfg.mcl.lf_table_box is not None
-                else float(min(cfg.map.shape))
-            )
-            return (
-                (halfwidth <= cfg.mcl.lf_auto_max_halfwidth)
-                & (cfg.mcl.lf_auto_sigma * jnp.std(sp.x) <= box_eff / 2.0)
-                & (cfg.mcl.lf_auto_sigma * jnp.std(sp.y) <= box_eff / 2.0)
+            return lf_auto_converged(
+                s.mcl.particles.pose, cfg.mcl, cfg.map.shape,
+                scanner_offset=cfg.mcl.scanner_offset,
             )
 
         self._predicate = jax.jit(_pred)

@@ -438,6 +438,34 @@ def particle_log_weights_lf_table(
     )
 
 
+def lf_auto_converged(poses: Pose, cfg, grid_shape, scanner_offset=(0.0, 0.0, 0.0)):
+    """The auto-tier predicate (``measurement="likelihood_field_auto"``):
+    True iff the cloud is table-eligible — the 4-sigma heading window is
+    tighter than ``cfg.lf_auto_max_halfwidth`` AND the
+    ``cfg.lf_auto_sigma``-sigma spatial extent fits the half-box.
+    Reductions only (psum-clean on a sharded particle axis). ONE shared
+    definition used by both the in-program `lax.cond` form
+    (`slam_tpu.models.mcl.update`) and the host-lagged dispatcher
+    (`slam_tpu.models.slam.AutoTierDispatcher`) so the two auto forms
+    cannot silently pick different tiers for the same state."""
+    sp = sensor_pose(poses, scanner_offset)
+    c = jnp.mean(jnp.cos(sp.theta))
+    s = jnp.mean(jnp.sin(sp.theta))
+    rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
+    cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+    halfwidth = cfg.lf_table_spread * cstd + cfg.lf_table_min_halfwidth
+    box_eff = (
+        float(cfg.lf_table_box)
+        if cfg.lf_table_box is not None
+        else float(min(grid_shape))
+    )
+    return (
+        (halfwidth <= cfg.lf_auto_max_halfwidth)
+        & (cfg.lf_auto_sigma * jnp.std(sp.x) <= box_eff / 2.0)
+        & (cfg.lf_auto_sigma * jnp.std(sp.y) <= box_eff / 2.0)
+    )
+
+
 def lf_table_prepare(
     field,
     poses: Pose,

@@ -1106,6 +1106,18 @@ class HybridAStar:
         tbins_q = jnp.stack(tbins)
         hfields_q = jnp.stack(hfields)
         if query_sharding is not None:
+            n_shards = getattr(query_sharding, "num_devices", None) or len(
+                query_sharding.device_set
+            )
+            if len(queries) % n_shards:
+                # device_put would otherwise fail deep inside GSPMD with an
+                # opaque un-divisible-dimension error naming neither the
+                # queries nor the documented constraint.
+                raise ValueError(
+                    f"solve_many got {len(queries)} queries over a "
+                    f"{n_shards}-device query sharding — Q must divide by "
+                    "the sharded axis size (pad with repeated queries)"
+                )
             stacked, goals_q, tbins_q, hfields_q = jax.device_put(
                 (stacked, goals_q, tbins_q, hfields_q), query_sharding
             )

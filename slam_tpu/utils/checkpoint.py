@@ -71,6 +71,14 @@ class CheckpointManager:
 
     def restore(self, template: Any, step: int | None = None) -> Any:
         step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            # Distinguish "nothing saved yet" from a format mismatch — the
+            # rewrap below advises deleting the directory, which is the
+            # wrong advice for an empty manager.
+            raise FileNotFoundError(
+                f"no checkpoint found under {self._mgr.directory} — nothing "
+                "has been saved yet (latest_step() is None)"
+            )
         try:
             raw = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(_unkey(template))

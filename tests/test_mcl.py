@@ -344,6 +344,38 @@ def test_slam_with_boxed_lf_table_measurement():
     assert ate < 8.0, f"SLAM+boxed-LF-table ATE {ate}"
 
 
+def test_resample_every_counts_updates_not_frames():
+    """`resample_every=k` must throttle by UPDATE count: with
+    update_every=2 (two predicts per update) a frame-counter modulo would
+    make every update land on an even step and resample EVERY update —
+    the documented every-k throttle would silently do nothing."""
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod
+    from slam_tpu.models.simulate import synthetic_room
+    from slam_tpu.ops import edt as edtlib
+    from slam_tpu.ops.rayfield import RayField
+
+    h = w = 96
+    blocked = jnp.asarray(synthetic_room(h, w))
+    rc = RaycastConfig(step=1.0, max_dist=50.0, backend="sdf")
+    field = RayField(blocked=blocked, edt=edtlib.edt_jfa(blocked))
+    lidar = LidarConfig(max_dist=50.0, n_rays=18)
+    cfg = MCLConfig(n_particles=128, meas_stddev=3.0,
+                    measurement="likelihood_field", resample_every=2)
+    gt = Pose.create(30.0, 30.0, 0.4)
+    st = mcl_mod.init(jax.random.key(0), cfg.n_particles, gt)
+    odom = Odometry.create(0.02, 1.0, 0.02)
+    scan = fake_lidar.scan(blocked, gt, lidar, rc)
+    fired = []
+    for _ in range(4):
+        # update_every = 2: two motion frames per measurement update.
+        st = mcl_mod.predict(st, odom, (0.001,) * 4)
+        st = mcl_mod.predict(st, odom, (0.001,) * 4)
+        st = mcl_mod.update(st, scan, field, cfg, rc)
+        # Resample fired iff weights were reset to uniform.
+        fired.append(bool(jnp.ptp(st.particles.log_weight) == 0))
+    assert fired == [True, False, True, False], fired
+
+
 def test_auto_measurement_tier_dispatch():
     """measurement='likelihood_field_auto' (round 4): a converged cloud
     scores EXACTLY like the forced boxed-table path, a dispersed
