@@ -123,10 +123,22 @@ class MapConfig:
 @dataclasses.dataclass(frozen=True)
 class AdaptiveConfig:
     """Augmented MCL random-particle injection (notebook cell 9:
-    alpha_slow=0.1, alpha_fast=0.9, inject ratio 1 - w_fast/w_slow)."""
+    alpha_slow=0.1, alpha_fast=0.9, inject ratio 1 - w_fast/w_slow).
+
+    The raw ratio is a DEATH SPIRAL risk (measured, RESULTS.md round 4):
+    ordinary per-scan likelihood fluctuations of 1-2 nats make
+    1 - exp(w_fast - w_slow) spike to 0.6-0.97, the injected junk lowers
+    the next average, and the filter floods itself with random particles
+    during PERFECT tracking (spread 35 px, never re-converges).
+    ``max_ratio`` caps the per-step injection; 0.1 is the measured
+    kidnap-recovery setting (all seeds re-localize in 13-29 steps on the
+    synthetic-room scenario, estimator = the weight-aware
+    ``MCLState.mode_pose`` — the unweighted mean is polluted by the
+    injected uniform particles). Default 1.0 = notebook fidelity."""
 
     alpha_slow: float = 0.1
     alpha_fast: float = 0.9
+    max_ratio: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

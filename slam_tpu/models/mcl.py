@@ -351,7 +351,16 @@ def update(
                 jnp.log1p(-a_f) + log_w_fast, jnp.log(a_f) + log_w_avg
             ),
         )
-        ratio = jnp.maximum(0.0, 1.0 - jnp.exp(log_w_fast - log_w_slow))
+        # Capped (AdaptiveConfig.max_ratio): the raw ratio spikes on
+        # ordinary 1-2 nat likelihood fluctuations and the injected junk
+        # feeds the next average — an uncapped self-sustaining flood
+        # (measured: spread 35 px during perfect tracking). See the config
+        # docstring for the measured kidnap-recovery setting.
+        ratio = jnp.clip(
+            1.0 - jnp.exp(log_w_fast - log_w_slow),
+            0.0,
+            cfg.adaptive.max_ratio,
+        )
         particles = resample.inject_random_particles(
             k_inj, particles, field.blocked, ratio
         )

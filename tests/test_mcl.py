@@ -344,6 +344,54 @@ def test_slam_with_boxed_lf_table_measurement():
     assert ate < 8.0, f"SLAM+boxed-LF-table ATE {ate}"
 
 
+def test_kidnap_recovery_with_capped_injection():
+    """Kidnapped-robot recovery e2e: tracking -> teleport -> re-localize.
+    Requires the round-4 injection cap (AdaptiveConfig.max_ratio=0.1 —
+    the uncapped notebook ratio death-spirals on ordinary likelihood
+    fluctuations) and the weight-aware mode_pose estimator (the unweighted
+    mean is polluted by the injected uniform particles)."""
+    from slam_tpu.models import fake_lidar, mcl as mcl_mod
+    from slam_tpu.models.simulate import synthetic_room
+    from slam_tpu.ops import edt as edtlib, motion
+    from slam_tpu.ops.rayfield import RayField
+
+    h = w = 128
+    blocked = jnp.asarray(synthetic_room(h, w))
+    rc = RaycastConfig(step=1.0, max_dist=60.0, backend="sdf")
+    field = RayField(blocked=blocked, edt=edtlib.edt_jfa(blocked))
+    lidar = LidarConfig(max_dist=60.0, n_rays=36)
+    cfg = MCLConfig(
+        n_particles=1024, meas_stddev=3.0, measurement="likelihood_field",
+        adaptive=AdaptiveConfig(max_ratio=0.1),
+    )
+    gt = Pose.create(40.0, 40.0, 0.3)
+    st = mcl_mod.init(jax.random.key(2), cfg.n_particles, gt)
+    odom = Odometry.create(0.03, 1.2, 0.03)
+    key = jax.random.key(102)
+
+    def tick(st, gt, t):
+        k, _ = jax.random.split(jax.random.fold_in(key, t))
+        gt = motion.sample_motion_model_odometry(k, odom, gt, (0.002,) * 4)
+        scan = fake_lidar.scan(blocked, gt, lidar, rc)
+        st = mcl_mod.predict(st, odom, (0.002,) * 4)
+        st = mcl_mod.update(st, scan, field, cfg, rc)
+        return st, gt
+
+    for t in range(10):
+        st, gt = tick(st, gt, t)
+    mode = st.mode_pose
+    assert float(jnp.hypot(mode.x - gt.x, mode.y - gt.y)) < 2.0
+
+    gt = Pose.create(90.0, 90.0, -0.8)  # kidnap
+    errs = []
+    for t in range(10, 50):
+        st, gt = tick(st, gt, t)
+        mode = st.mode_pose
+        errs.append(float(jnp.hypot(mode.x - gt.x, mode.y - gt.y)))
+    assert min(errs) < 3.0, f"never re-localized: min err {min(errs):.2f}"
+    assert np.mean(errs[-10:]) < 4.0, f"unstable tail: {errs[-10:]}"
+
+
 def test_resample_every_counts_updates_not_frames():
     """`resample_every=k` must throttle by UPDATE count: with
     update_every=2 (two predicts per update) a frame-counter modulo would
