@@ -297,8 +297,14 @@ def update(
     # path) a few out-of-window particles score the z_rand floor even when
     # the in-window majority ties, and a ptp test would then crown an
     # arbitrary tied particle — the exact gauge rotation this guards
-    # against. Reductions only (psum-friendly on a sharded particle axis).
-    top_tie_frac = jnp.mean((jnp.max(lw) - lw) < 1e-6)
+    # against. The tie tolerance is RELATIVE to |max|: these are f32 log
+    # likelihoods with magnitudes in the hundreds (ULP at 400 ~ 3e-5), so
+    # an absolute 1e-6 catches only bit-exact ties and any summation-order
+    # jitter (bf16 table store, sharded reduction order) silently defeats
+    # the guard. Reductions only (psum-friendly on a sharded particle axis).
+    max_lw = jnp.max(lw)
+    tie_tol = jnp.maximum(jnp.float32(1e-6), 1e-6 * jnp.abs(max_lw))
+    top_tie_frac = jnp.mean((max_lw - lw) < tie_tol)
     informative = top_tie_frac < 0.5
     best_pose = jax.tree.map(
         lambda b, m: jnp.where(informative, b, m), best_pose, mode_pose
@@ -397,6 +403,7 @@ class MCL:
     ):
         self.cfg = cfg
         self.rc = rc
+        self._seed = seed
         self._predict = jax.jit(predict)
         self._update = jax.jit(
             lambda s, scan, blocked: update(s, scan, blocked, cfg, rc)
@@ -404,7 +411,8 @@ class MCL:
 
     def init(self, h: int, w: int) -> MCLState:
         return init(
-            jax.random.key(0), self.cfg.n_particles, starting_pose(h, w)
+            jax.random.key(self._seed), self.cfg.n_particles,
+            starting_pose(h, w),
         )
 
     def predict(self, state, odom: Odometry, alphas) -> MCLState:

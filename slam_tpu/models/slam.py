@@ -88,16 +88,18 @@ def step(
         resample_fn=resample_fn,
     )
 
-    # Map from the weighted-mean pose by default (`SLAMConfig.map_pose`):
-    # the reference keeps the best PARTICLE's map (`slam/mcl.cpp:236-238`,
-    # `apps/grid_slam.cpp:112`), but each reference particle owns a
-    # self-consistent map; in the shared-map redesign the first update's
-    # weights are uniform (empty grid scores the z_rand floor everywhere)
-    # and the argmax particle is arbitrary — mapping from it bakes a random
-    # heading draw into the map gauge (measured 11.3 -> 2.5 px on the
-    # 120-step deterministic arc; RESULTS.md round 4). The OUTPUT estimate
-    # stays the best particle (refined below when configured) for reference
-    # parity.
+    # `SLAMConfig.map_pose` selects the estimator that drives the map
+    # update; the shipped default is "best" — the reference keeps the best
+    # PARTICLE's map (`slam/mcl.cpp:236-238`, `apps/grid_slam.cpp:112`) and
+    # at large N / short arcs the argmax measures best (RESULTS.md round 4).
+    # In the shared-map redesign the first update's weights are uniform
+    # (empty grid scores the z_rand floor everywhere) so a raw argmax would
+    # bake a random heading draw into the map gauge; `best_pose` itself
+    # falls back to the sharpened mean on uninformative updates (see
+    # mcl.update), and "mean"/"mode"/"auto" are available where they
+    # measure better (long low-N arcs; 1M aligned-ATE study). The OUTPUT
+    # estimate stays the best particle (refined below when configured) for
+    # reference parity.
     est_pose = st.best_pose
     if cfg.map_pose == "mean":
         map_pose = mcl_mod.mean_pose(st)
@@ -134,7 +136,12 @@ def step(
         l_min=cfg.map.l_min,
         l_max=cfg.map.l_max,
     )
-    do_map = (st.updates % cfg.map_every) == 0
+    # `st.updates` is POST-increment here (1 after the first update) while
+    # mcl.update's resample_every gate reads the PRE-increment counter
+    # (fires on the first update); subtract 1 so both every-k throttles
+    # share one phase and the FIRST scan — the bootstrap against the empty
+    # grid — always maps (with map_every=k>1 the raw modulo skipped it).
+    do_map = ((st.updates - 1) % cfg.map_every) == 0
     new_grid = jnp.where(do_map, new_grid, state.grid)
     return SLAMState(mcl=st, grid=new_grid, est_pose=est_pose)
 
@@ -164,8 +171,15 @@ class AutoTierDispatcher:
     lagged table steps would floor the injected particles out of the box
     for up to check_every+1 updates — ``check_every`` defaults to 1
     whenever ``cfg.mcl.adaptive`` is set, trading one fetch round trip
-    per step for prompt switching. The pure-jit `lax.cond` auto path
-    (no lag at all) remains for single-program contexts.
+    per step for prompt switching. KNOWN LAG RISK at the non-adaptive
+    default (check_every=4): a cloud dispersed by something other than
+    injection — a featureless corridor, sensor dropout — is scored by
+    the boxed table (flooring most particles to the z_rand floor, which
+    can itself sustain the dispersal) for up to check_every+1 updates
+    before the direct tier engages. If the environment has such
+    stretches, pass ``check_every=1`` (one prefetched tunnel fetch per
+    step) or use the pure-jit `lax.cond` auto path (no lag at all),
+    which remains for single-program contexts.
 
     ``make_step(cfg) -> fn(state, odom, scan)`` builds the engine's jitted
     step for a forced-measurement config (the sharded engine closes its

@@ -202,7 +202,9 @@ class MapShardedGridSLAM:
             new_grid = scan_logodds_update_sharded(
                 mesh, state.grid, map_pose, scan, cfg=cfg
             )
-            do_map = (st.updates % cfg.map_every) == 0
+            # Same pre-increment phase as models/slam.py: st.updates is
+            # post-increment, the first update must map.
+            do_map = ((st.updates - 1) % cfg.map_every) == 0
             new_grid = jnp.where(do_map, new_grid, state.grid)
             return slam_mod.SLAMState(
                 mcl=st, grid=new_grid, est_pose=st.best_pose

@@ -1106,9 +1106,26 @@ class HybridAStar:
         tbins_q = jnp.stack(tbins)
         hfields_q = jnp.stack(hfields)
         if query_sharding is not None:
-            n_shards = getattr(query_sharding, "num_devices", None) or len(
-                query_sharding.device_set
-            )
+            # The required divisor is the shard count ALONG THE QUERY AXIS,
+            # not the sharding's total device count: on a multi-axis mesh
+            # (e.g. ('p','b')) NamedSharding(mesh, P('p')) splits axis 0 by
+            # mesh.shape['p'] only, so gating on num_devices would reject
+            # valid Q values.
+            spec = getattr(query_sharding, "spec", None)
+            smesh = getattr(query_sharding, "mesh", None)
+            if spec is not None and smesh is not None:
+                axes = spec[0] if len(spec) else None
+                if axes is None:
+                    axes = ()
+                elif isinstance(axes, str):
+                    axes = (axes,)
+                n_shards = 1
+                for ax in axes:
+                    n_shards *= smesh.shape[ax]
+            else:
+                n_shards = getattr(query_sharding, "num_devices", None) or len(
+                    query_sharding.device_set
+                )
             if len(queries) % n_shards:
                 # device_put would otherwise fail deep inside GSPMD with an
                 # opaque un-divisible-dimension error naming neither the

@@ -682,3 +682,53 @@ def test_first_update_uninformative_fallback_with_table_box():
         jax.tree.leaves(st1.mcl.best_pose), jax.tree.leaves(st1.mcl.mode_pose)
     ):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(m))
+
+
+def test_mcl_wrapper_honors_seed():
+    """Round-5 fix: `MCL(cfg, seed=...)` used to accept the seed and then
+    hardcode key(0) in init() — a user sweeping filter seeds through the
+    reference-parity wrapper got identical runs."""
+    cfg = MCLConfig(n_particles=16)
+    st1 = mcl.MCL(cfg, seed=1).init(64, 64)
+    st1b = mcl.MCL(cfg, seed=1).init(64, 64)
+    st2 = mcl.MCL(cfg, seed=2).init(64, 64)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(st1.key)),
+        np.asarray(jax.random.key_data(st1b.key)),
+    )
+    assert not np.array_equal(
+        np.asarray(jax.random.key_data(st1.key)),
+        np.asarray(jax.random.key_data(st2.key)),
+    )
+
+
+def test_map_every_first_update_always_maps():
+    """Round-5 advisor fix: with map_every=k>1 the map throttle read the
+    POST-increment update counter, so the first k-1 scans — including the
+    bootstrap scan against the empty grid — never mapped, while
+    resample_every (PRE-increment) fired on the first update. Both
+    throttles now share the pre-increment phase: updates 1, 3, 5...
+    (1-indexed) map under map_every=2."""
+    from slam_tpu.models import slam as slam_mod
+
+    h = w = 96
+    cfg = SLAMConfig(
+        mcl=MCLConfig(n_particles=32, measurement="likelihood_field"),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(n_rays=16, max_dist=50.0),
+        raycast=RaycastConfig(step=1.0, max_dist=50.0, backend="sdf"),
+        map_every=2,
+    )
+    engine = slam_mod.GridSLAM(cfg, seed=0)
+    start = Pose.create(48.0, 48.0, 0.5)
+    state = engine.init(start)
+    blocked = jnp.zeros((h, w), bool).at[10, :].set(True)
+    scan = fake_lidar.scan(blocked, start, cfg.lidar, cfg.raycast)
+    odom = Odometry.create(0.0, 0.5, 0.0)
+    mapped = []
+    prev_grid = state.grid
+    for _ in range(4):
+        state = engine.step(state, odom, scan)
+        mapped.append(bool(jnp.any(state.grid != prev_grid)))
+        prev_grid = state.grid
+    assert mapped == [True, False, True, False], mapped

@@ -327,6 +327,38 @@ class TestHybridAStarLattice:
                     if j == 32:
                         assert 28 <= i < 38
 
+    def test_solve_many_multi_axis_mesh_divisor(self):
+        """Round-5 advisor fix: on a multi-axis mesh (('p','b') = 4x2),
+        NamedSharding(mesh, P('p')) shards the query axis by
+        mesh.shape['p'] = 4 only — the divisibility pre-check must accept
+        Q=4 (it used to gate on the 8-device total and reject it)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("p", "b"))
+        free = wall_map(64, 64, gap=(28, 38))
+        queries = [
+            (Pose.create(10.0, 10.0 + 6.0 * q, 0.0),
+             Pose.create(54.0, 32.0, 0.0))
+            for q in range(4)
+        ]
+        p = HybridAStar(
+            jnp.asarray(free), queries[0][0], queries[0][1], self.CFG
+        )
+        fleet = p.solve_many(
+            queries, max_rounds=400,
+            query_sharding=NamedSharding(mesh, P("p")),
+        )
+        assert len(fleet) == 4
+        for (a, b), (ok, cost) in zip(queries, fleet):
+            p.reset_query(a, b)
+            assert p.solve(max_rounds=400) == ok
+            if ok:
+                assert abs(cost - p.path_cost()) < 1e-3
+
 
 class TestRRTStar:
     CFG = RRTStarConfig(reach=6.0, radius=12.0, max_nodes=2048, batch=64)
