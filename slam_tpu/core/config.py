@@ -347,11 +347,17 @@ class SLAMConfig:
     # since round 4 the argmax falls back to the sharpened mean whenever the
     # measurement is uninformative, fixing the empty-map first update's
     # arbitrary-particle gauge error), "mean" (post-resample circular mean),
-    # or "mode" (`MCLState.mode_pose`, the tau-sharpened pre-resample
-    # weighted mean). Measured (RESULTS.md round 4): "best" wins at large N
-    # and on short arcs (argmax noise ~ 0); "mean" is the most robust on
-    # long low-N arcs (no catastrophic seeds) but pays ridge-shrinkage bias
-    # at large N (100k own-arc table: 3.96 best vs 7.77 mean).
+    # "mode" (`MCLState.mode_pose`, the tau-sharpened pre-resample weighted
+    # mean), or "auto" (resolve the measured regime rule at trace time —
+    # see `models.slam.resolve_map_pose`). Measured (RESULTS.md round 4):
+    # "best" is the most robust at small N (the 200-particle 120-step arc:
+    # best-with-fallback mean-of-seeds 9.0 px vs mode 10.2, mean 11.7);
+    # at large N "mean" makes the map gauge deterministic across filter
+    # seeds and records the best SE(2)-aligned ATE when resampling every
+    # update (1M k=1: 0.75-0.80 px aligned), while with resample_every>1
+    # "mode" wins (the unweighted mean ignores the weights accumulated
+    # across skipped resamples and degrades to 4.3-4.8 px aligned; mode
+    # 1.2-1.5 px at 33 Hz — the production config).
     map_pose: str = "best"
     # Optional correlative scan-matching refinement of the output pose
     # estimate (`SLAMState.est_pose` carries it). The refined pose drives
@@ -360,11 +366,11 @@ class SLAMConfig:
     scanmatch: Optional[ScanMatchConfig] = None
 
     def __post_init__(self):
-        if self.map_pose not in ("best", "mean", "mode"):
+        if self.map_pose not in ("best", "mean", "mode", "auto"):
             # A typo'd estimator name would silently fall through to the
             # "best" branch and record a sweep under the wrong label.
             raise ValueError(
-                f"map_pose must be 'best', 'mean', or 'mode', got "
+                f"map_pose must be 'best', 'mean', 'mode', or 'auto', got "
                 f"{self.map_pose!r}"
             )
 

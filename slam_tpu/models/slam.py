@@ -47,6 +47,40 @@ def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
     )
 
 
+def resolve_map_pose(cfg: SLAMConfig) -> str:
+    """Resolve ``SLAMConfig.map_pose`` to a concrete estimator.
+
+    ``"auto"`` encodes the measured regime rule (RESULTS.md round 4,
+    "Shared-map estimator study" + the 1M aligned-ATE table), resolved at
+    trace time from the static config — the analog of
+    ``measurement="likelihood_field_auto"`` for the mapping estimator:
+
+      * small N -> ``"best"``: the argmax-with-uninformative-fallback is
+        the most robust on long low-N arcs (200-particle 120-step arc:
+        mean-of-seeds 9.0 px vs mode 10.2, mean 11.7) and the reference's
+        own estimator (`slam/mcl.cpp:236-238`).
+      * large N, resampling every update -> ``"mean"``: deterministic map
+        gauge across filter seeds and the best SE(2)-aligned ATE
+        (1M k=1: 0.75-0.80 px aligned).
+      * large N, ``resample_every > 1`` -> ``"mode"``: the unweighted mean
+        ignores weights accumulated across skipped resamples and degrades
+        (4.3-4.8 px aligned); the tau-sharpened weighted mode stays at
+        1.2-1.5 px (the 33 Hz production config).
+
+    The small/large boundary is set at 10k particles: measured anchors are
+    200 (best wins) and 100k/1M (mean/mode win); between them the argmax's
+    selection noise ~1/N is already negligible, so the gauge-determinism
+    argument dominates. Unmeasured in (200, 100k) — documented, not tuned.
+    """
+    if cfg.map_pose != "auto":
+        return cfg.map_pose
+    if cfg.mcl.n_particles < 10_000:
+        return "best"
+    if cfg.mcl.resample_every > 1:
+        return "mode"
+    return "mean"
+
+
 def step(
     state: SLAMState,
     odom: Odometry,
@@ -101,9 +135,10 @@ def step(
     # estimate stays the best particle (refined below when configured) for
     # reference parity.
     est_pose = st.best_pose
-    if cfg.map_pose == "mean":
+    mp = resolve_map_pose(cfg)
+    if mp == "mean":
         map_pose = mcl_mod.mean_pose(st)
-    elif cfg.map_pose == "mode":
+    elif mp == "mode":
         map_pose = st.mode_pose
     else:
         map_pose = st.best_pose

@@ -193,9 +193,10 @@ class MapShardedGridSLAM:
                 resample_fn=rfn,
                 measurement_fn=functools.partial(measurement, state.grid),
             )
-            if cfg.map_pose == "mean":
+            mp = slam_mod.resolve_map_pose(cfg)
+            if mp == "mean":
                 map_pose = mcl_mod.mean_pose(st)
-            elif cfg.map_pose == "mode":
+            elif mp == "mode":
                 map_pose = st.mode_pose
             else:
                 map_pose = st.best_pose

@@ -14,6 +14,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -38,6 +39,104 @@ def _rekey(tree, template):
     )
 
 
+def _path_keys(path) -> tuple:
+    """jax keypath -> orbax-style string keys ('mcl', 'best_pose', 'x')."""
+    out = []
+    for k in path:
+        if hasattr(k, "name"):
+            out.append(str(k.name))
+        elif hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "idx"):
+            out.append(str(k.idx))
+        else:  # pragma: no cover - future key kinds
+            out.append(str(k))
+    return tuple(out)
+
+
+def _lookup(raw, keys):
+    """Walk the raw nested-dict checkpoint by string keys; None if absent."""
+    node = raw
+    for k in keys:
+        if not isinstance(node, dict) or k not in node:
+            return None
+        node = node[k]
+    return None if isinstance(node, dict) else node
+
+
+# Fields added to MCLState/SLAMState after round 2, with their documented
+# migration defaults (PARITY.md "checkpoint format"). Keys are leaf-path
+# SUFFIXES matched against the template's flattened paths; values map the
+# missing leaf to (source path in the OLD checkpoint, fallback literal).
+# Rationale: `est_pose`/`mode_pose` start from the saved best particle —
+# exactly what pre-round-3/4 engines reported as their estimate; the
+# adaptive EMAs restart from their NaN "no update seen" sentinel (they
+# warm-start from the first observed likelihood, models/mcl.py); `updates`
+# restarts from the saved frame counter `step` (exact when update_every=1,
+# an upper bound otherwise — the every-k throttles at most fire one early).
+_MIGRATIONS = {
+    ("est_pose",): (("mcl", "best_pose"), None),
+    ("mode_pose",): (("mcl", "best_pose"), None),
+    ("log_w_slow",): (None, float("nan")),
+    ("log_w_fast",): (None, float("nan")),
+    ("updates",): (("mcl", "step"), 0),
+}
+
+
+def _migrate(raw: dict, template: Any):
+    """Fill fields absent from an old-format checkpoint with documented
+    defaults; returns (state_tree_unkeyed, filled_paths). Raises ValueError
+    when a SAVED leaf mismatches the template (a genuine incompatibility,
+    not a format addition)."""
+    import jax.tree_util as jtu
+
+    tpl_u = _unkey(template)
+    leaves_p, treedef = jtu.tree_flatten_with_path(tpl_u)
+    out, filled = [], []
+    for path, tleaf in leaves_p:
+        keys = _path_keys(path)
+        saved = _lookup(raw, keys)
+        if saved is not None:
+            ts = tuple(getattr(tleaf, "shape", ()))
+            if tuple(np.shape(saved)) != ts:
+                raise ValueError(
+                    f"checkpoint field {'/'.join(keys)} has shape "
+                    f"{tuple(np.shape(saved))} but the template expects "
+                    f"{ts} — this is a real config mismatch (particle "
+                    "count / map size), not a format change; migration "
+                    "cannot fix it"
+                )
+            out.append(jnp.asarray(saved, getattr(tleaf, "dtype", None)))
+            continue
+        # Missing: a field added after this checkpoint was written.
+        fill = tleaf
+        for suffix, (src, literal) in _MIGRATIONS.items():
+            if keys[-len(suffix):] == suffix or (
+                len(keys) >= len(suffix) + 1
+                and keys[-len(suffix) - 1 : -1] == suffix
+            ):
+                # Match 'est_pose' itself (scalar fields) or its children
+                # ('est_pose'/'x' for Pose subtrees).
+                src_leaf = None
+                if src is not None:
+                    child = keys[-1:] if keys[-len(suffix) - 1 : -1] == suffix else ()
+                    src_leaf = _lookup(raw, src + child)
+                if src_leaf is not None:
+                    fill = jnp.asarray(
+                        src_leaf, getattr(tleaf, "dtype", None)
+                    )
+                elif literal is not None:
+                    fill = jnp.full(
+                        getattr(tleaf, "shape", ()),
+                        literal,
+                        getattr(tleaf, "dtype", jnp.float32),
+                    )
+                break
+        filled.append("/".join(keys))
+        out.append(fill)
+    return jtu.tree_unflatten(treedef, out), filled
+
+
 def save(path: str, state: Any) -> None:
     """Write a pytree state to `path` (a directory)."""
     path = os.path.abspath(path)
@@ -47,11 +146,34 @@ def save(path: str, state: Any) -> None:
 
 def restore(path: str, template: Any) -> Any:
     """Read a pytree state saved by `save`; `template` supplies the
-    structure/dtypes (e.g. a freshly-initialized state)."""
+    structure/dtypes (e.g. a freshly-initialized state).
+
+    Old-format checkpoints (saved before fields like `est_pose`,
+    `mode_pose`, `updates`, or the adaptive EMAs existed) are MIGRATED:
+    missing fields fill with documented defaults (see `_MIGRATIONS`) and a
+    warning lists them, instead of refusing to restore."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(path, _unkey(template))
+        try:
+            raw = ckptr.restore(path, _unkey(template))
+        except (ValueError, KeyError):
+            raw = _migrate_restore(ckptr.restore(path), template, path)
     return _rekey(raw, template)
+
+
+def _migrate_restore(raw: dict, template: Any, where: str) -> Any:
+    migrated, filled = _migrate(raw, template)
+    if filled:
+        from slam_tpu.utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            "checkpoint at %s predates the current state format; filled "
+            "%d missing field(s) with migration defaults: %s",
+            where,
+            len(filled),
+            ", ".join(filled),
+        )
+    return migrated
 
 
 class CheckpointManager:
@@ -87,14 +209,24 @@ class CheckpointManager:
             # Orbax raises an opaque structure-mismatch error when the saved
             # pytree predates a state-format change (e.g. SLAMState.est_pose
             # and the NaN-initialized MCL EMAs added after round 2 — see
-            # PARITY.md "checkpoint format"). Surface the actionable cause.
-            raise ValueError(
-                f"checkpoint at step {step} does not match the current state "
-                "structure — it likely predates a SLAMState/MCLState format "
-                "change (est_pose / adaptive EMAs). Delete the checkpoint "
-                "directory to start fresh, or restore with the matching "
-                f"older code. Underlying error: {e}"
-            ) from e
+            # PARITY.md "checkpoint format"). Migrate: restore the raw tree
+            # and fill the missing fields with documented defaults; a
+            # GENUINE mismatch (shape/config drift) still raises, from
+            # _migrate, with the actionable cause.
+            try:
+                raw_tree = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore()
+                )
+            except Exception:
+                raise ValueError(
+                    f"checkpoint at step {step} does not match the current "
+                    "state structure and could not be read raw for "
+                    "migration. Delete the checkpoint directory to start "
+                    f"fresh. Underlying error: {e}"
+                ) from e
+            raw = _migrate_restore(
+                raw_tree, template, f"step {step} in {self._mgr.directory}"
+            )
         return _rekey(raw, template)
 
     def close(self):

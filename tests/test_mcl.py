@@ -732,3 +732,50 @@ def test_map_every_first_update_always_maps():
         mapped.append(bool(jnp.any(state.grid != prev_grid)))
         prev_grid = state.grid
     assert mapped == [True, False, True, False], mapped
+
+
+def test_map_pose_auto_resolution_and_equivalence():
+    """map_pose='auto' (round 5): the measured regime rule resolves at
+    trace time — best at small N, mean at large N with k=1, mode at large
+    N with resample_every>1 — and an auto-config step is BIT-identical to
+    the forced resolved-estimator step."""
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+
+    base = MCLConfig(n_particles=32, measurement="likelihood_field")
+    mk = lambda mcl_cfg, **kw: SLAMConfig(
+        mcl=mcl_cfg,
+        map=MapConfig(height=96, width=96),
+        lidar=LidarConfig(n_rays=16, max_dist=50.0),
+        raycast=RaycastConfig(step=1.0, max_dist=50.0, backend="sdf"),
+        **kw,
+    )
+    assert slam_mod.resolve_map_pose(mk(base, map_pose="auto")) == "best"
+    big = dataclasses.replace(base, n_particles=100_000)
+    assert slam_mod.resolve_map_pose(mk(big, map_pose="auto")) == "mean"
+    big_k = dataclasses.replace(big, resample_every=4)
+    assert slam_mod.resolve_map_pose(mk(big_k, map_pose="auto")) == "mode"
+    assert slam_mod.resolve_map_pose(mk(base, map_pose="mode")) == "mode"
+
+    # Bitwise step equivalence auto vs forced-resolved at small N.
+    cfg_auto = mk(base, map_pose="auto")
+    cfg_best = mk(base, map_pose="best")
+    from slam_tpu.models.simulate import synthetic_room
+
+    blocked = jnp.asarray(synthetic_room(96, 96))
+    start = Pose.create(48.0, 48.0, 0.5)
+    scan = fake_lidar.scan(blocked, start, cfg_auto.lidar, cfg_auto.raycast)
+    odom = Odometry.create(0.01, 1.0, 0.01)
+    s_a = slam_mod.init(jax.random.key(3), cfg_auto, start)
+    s_b = slam_mod.init(jax.random.key(3), cfg_best, start)
+    for _ in range(3):
+        s_a = slam_mod.step(s_a, odom, scan, cfg_auto)
+        s_b = slam_mod.step(s_b, odom, scan, cfg_best)
+    def raw(leaf):
+        if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+            leaf.dtype, jax.dtypes.prng_key
+        ):
+            return np.asarray(jax.random.key_data(leaf))
+        return np.asarray(leaf)
+
+    for la, lb in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(raw(la), raw(lb))

@@ -104,3 +104,124 @@ def test_diagnostics_and_recovery():
         )
     )
     assert bool(diagnostics.filter_health(nan_state)["any_nan"])
+
+
+def test_checkpoint_migrates_old_format(tmp_path):
+    """Round-5: restoring a pre-round-3-shaped checkpoint (no est_pose, no
+    mode_pose, no updates counter, no adaptive EMAs) FILLS the missing
+    fields with documented defaults instead of raising — est_pose and
+    mode_pose from the saved best particle, updates from the saved frame
+    counter, EMAs from the NaN warm-start sentinel."""
+    from flax import struct
+
+    from slam_tpu.core.types import Particles
+
+    @struct.dataclass
+    class OldMCLState:  # the round-2 state shape
+        particles: object
+        key: object
+        best_pose: object
+        step: object
+
+    @struct.dataclass
+    class OldSLAMState:
+        mcl: OldMCLState
+        grid: object
+
+    cfg = SLAMConfig(mcl=MCLConfig(n_particles=8), map=MapConfig(height=16, width=16))
+    pose = Pose.create(8.0, 8.0, 0.5)
+    best = Pose.create(9.0, 7.0, 0.25)
+    old = OldSLAMState(
+        mcl=OldMCLState(
+            particles=Particles.uniform_at(pose, 8),
+            key=jax.random.key(7),
+            best_pose=best,
+            step=jnp.int32(42),
+        ),
+        grid=jnp.full((16, 16), 0.75),
+    )
+    path = str(tmp_path / "old_ckpt")
+    checkpoint.save(path, old)
+
+    template = slam_mod.init(jax.random.key(0), cfg, Pose.create(0.0, 0.0, 0.0))
+    restored = checkpoint.restore(path, template)
+
+    np.testing.assert_array_equal(np.asarray(restored.grid), np.asarray(old.grid))
+    for leaf, src in (
+        (restored.est_pose.x, 9.0),
+        (restored.est_pose.theta, 0.25),
+        (restored.mcl.mode_pose.y, 7.0),
+    ):
+        assert float(leaf) == src
+    assert int(restored.mcl.updates) == 42
+    assert int(restored.mcl.step) == 42
+    assert bool(jnp.isnan(restored.mcl.log_w_slow))
+    assert bool(jnp.isnan(restored.mcl.log_w_fast))
+    # The PRNG key round-trips usably.
+    assert float(jax.random.uniform(restored.mcl.key)) == float(
+        jax.random.uniform(old.mcl.key)
+    )
+    # ...and the migrated state RESUMES: one SLAM step runs.
+    from slam_tpu.core.types import Odometry
+    from slam_tpu.models import fake_lidar
+
+    blocked = jnp.zeros((16, 16), bool).at[2, :].set(True)
+    scan = fake_lidar.scan(blocked, pose, cfg.lidar, cfg.raycast)
+    out = slam_mod.step(restored, Odometry.create(0.0, 0.5, 0.0), scan, cfg)
+    assert int(out.mcl.updates) == 43
+
+
+def test_checkpoint_migration_rejects_real_mismatch(tmp_path):
+    """A shape mismatch (different particle count) is a config error, not a
+    format change — migration must refuse with an actionable message."""
+    import pytest
+
+    cfg8 = SLAMConfig(mcl=MCLConfig(n_particles=8), map=MapConfig(height=16, width=16))
+    cfg16 = SLAMConfig(mcl=MCLConfig(n_particles=16), map=MapConfig(height=16, width=16))
+    state = slam_mod.init(jax.random.key(0), cfg8, Pose.create(8.0, 8.0, 0.0))
+    path = str(tmp_path / "ck")
+    checkpoint.save(path, state)
+    template = slam_mod.init(jax.random.key(0), cfg16, Pose.create(0.0, 0.0, 0.0))
+    with pytest.raises(ValueError, match="particle count|shape"):
+        checkpoint.restore(path, template)
+
+
+def test_checkpoint_manager_migrates_old_format(tmp_path):
+    """CheckpointManager.restore migrates old formats the same way."""
+    from flax import struct
+
+    from slam_tpu.core.types import Particles
+
+    @struct.dataclass
+    class OldMCLState:
+        particles: object
+        key: object
+        best_pose: object
+        step: object
+
+    @struct.dataclass
+    class OldSLAMState:
+        mcl: OldMCLState
+        grid: object
+
+    cfg = SLAMConfig(mcl=MCLConfig(n_particles=8), map=MapConfig(height=16, width=16))
+    pose = Pose.create(8.0, 8.0, 0.5)
+    old = OldSLAMState(
+        mcl=OldMCLState(
+            particles=Particles.uniform_at(pose, 8),
+            key=jax.random.key(3),
+            best_pose=pose,
+            step=jnp.int32(5),
+        ),
+        grid=jnp.zeros((16, 16)),
+    )
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "run"))
+    mgr.save(0, old)
+    mgr.close()
+
+    mgr2 = checkpoint.CheckpointManager(str(tmp_path / "run"))
+    template = slam_mod.init(jax.random.key(0), cfg, Pose.create(0.0, 0.0, 0.0))
+    restored = mgr2.restore(template)
+    assert int(restored.mcl.updates) == 5
+    assert float(restored.est_pose.x) == 8.0
+    mgr2.close()
