@@ -36,7 +36,9 @@ def main():
         "100k-proven table tier is not obviously the big-map winner. "
         "A :N suffix sets lf_table_box (the round-4 box-localized build "
         "whose traffic is T*box^2, map-size-independent): "
-        "likelihood_field_table:256",
+        "likelihood_field_table:256. A :eN suffix sets SLAMConfig.edt_box "
+        "(the round-5 incremental scan-localized EDT refresh): "
+        "likelihood_field_table:128:e1024",
     )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -81,18 +83,26 @@ def main():
     odom = Odometry.create(0.02, 2.0, 0.02)
 
     for label in args.measurement.split(","):
-        meas, _, box = label.partition(":")
+        parts = label.split(":")
+        meas, mods = parts[0], parts[1:]
+        table_box = edt_box = None
+        for mod in mods:
+            if mod.startswith("e"):
+                edt_box = int(mod[1:])
+            elif mod:
+                table_box = int(mod)
         cfg = SLAMConfig(
             mcl=MCLConfig(
                 n_particles=args.particles,
                 meas_stddev=5.0,
                 measurement=meas,
-                lf_table_box=int(box) if box else None,
+                lf_table_box=table_box,
             ),
             map=MapConfig(height=h, width=w),
             lidar=lidar,
             motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
             raycast=RaycastConfig(step=1.0, max_dist=500.0, backend="sdf"),
+            edt_box=edt_box,
         )
         engine = slam_mod.GridSLAM(cfg, seed=0)
         gt = Pose.create(sx, sy, 0.9)
@@ -128,16 +138,27 @@ def main():
         # round-trip PER STEP (~30-70 ms through the axon tunnel — round-4
         # finding; on local TPU deployments dispatch is tens of us), which
         # dominated the maze numbers recorded before round 4's fix.
-        scan0 = fake_lidar.scan(
-            blocked, sensor_pose(gt, cfg.mcl.scanner_offset), lidar,
-            RaycastConfig(max_dist=500.0),
-        )
-        st = engine.step(state, odom, scan0)
+        # Two scans from slightly different poses, alternated: repeating
+        # ONE scan converges the local map in a couple of iterations and
+        # stops flipping blocked cells, which would let the round-5
+        # incremental-EDT path measure its no-flip skip branch instead of
+        # the window refresh it actually runs in operation. Alternating
+        # keeps boundary cells flipping every step (a conservative,
+        # flip-sustaining steady state for every tier).
+        gt2 = Pose.create(gt.x + 3.0, gt.y + 3.0, gt.theta + 0.05)
+        scans = [
+            fake_lidar.scan(
+                blocked, sensor_pose(p, cfg.mcl.scanner_offset), lidar,
+                RaycastConfig(max_dist=500.0),
+            )
+            for p in (gt, gt2)
+        ]
+        st = engine.step(state, odom, scans[0])
         fence(st.mcl.particles.log_weight)
         iters = 10
         t0 = time.perf_counter()
-        for _ in range(iters):
-            st = engine.step(st, odom, scan0)
+        for i in range(iters):
+            st = engine.step(st, odom, scans[i % 2])
         fence(st.mcl.particles.log_weight)
         pipe = (time.perf_counter() - t0) / iters
 

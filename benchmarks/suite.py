@@ -95,22 +95,31 @@ def bench_slam(args):
         motion=MotionConfig(alphas=(5e-4, 5e-4, 1e-2, 1e-2)),
         raycast=rc,
         map_pose="mode",
+        edt_box=args.slam_edt_box,
     )
     engine = slam_mod.GridSLAM(cfg, seed=0)
     start = Pose.create(400.0, 400.0, math.pi)
     state = engine.init(start)
     odom = Odometry.create(0.02, 2.5, 0.02)
-    scan = fake_lidar.scan(
-        blocked, sensor_pose(start, cfg.mcl.scanner_offset), lidar, rc
-    )
-    st = engine.step(state, odom, scan)
+    # Two alternating scans keep map cells flipping in steady state so the
+    # round-5 incremental-EDT path measures its WINDOW refresh, not its
+    # no-flip skip branch (a single repeated scan converges the local map
+    # and stops flipping in a couple of iterations).
+    start2 = Pose.create(403.0, 403.0, math.pi + 0.05)
+    scans = [
+        fake_lidar.scan(
+            blocked, sensor_pose(p, cfg.mcl.scanner_offset), lidar, rc
+        )
+        for p in (start, start2)
+    ]
+    st = engine.step(state, odom, scans[0])
     fence(st)
-    for _ in range(3):
-        st = engine.step(st, odom, scan)
+    for i in range(3):
+        st = engine.step(st, odom, scans[i % 2])
     fence(st)
     t0 = _t.perf_counter()
-    for _ in range(args.iters * 4):
-        st = engine.step(st, odom, scan)
+    for i in range(args.iters * 4):
+        st = engine.step(st, odom, scans[i % 2])
     fence(st)
     per = (_t.perf_counter() - t0) / (args.iters * 4)
     emit(
@@ -357,6 +366,12 @@ def main():
                              "all"])
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--slam-particles", type=int, default=1_000_000)
+    ap.add_argument(
+        "--slam-edt-box", type=int, default=None,
+        help="SLAMConfig.edt_box for the production config (round-5 "
+        "incremental scan-localized EDT refresh; must exceed 4*jfa_reach "
+        "= 256 at stddev 5). None = per-step full-map rebuild.",
+    )
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hastar-batch", type=int, default=512)
     ap.add_argument(

@@ -34,17 +34,50 @@ class SLAMState:
     # correlative scan-matched pose when `SLAMConfig.scanmatch` is set
     # (slam_tpu.ops.scanmatch), otherwise the best particle.
     est_pose: Pose
+    # DERIVED cache (round 5, `SLAMConfig.edt_box`): the capped JFA EDT of
+    # `blocked_from_logodds(grid)`, refreshed incrementally per step
+    # (`ops.edt.edt_jfa_refresh`, bitwise-exact vs a full rebuild). None
+    # when edt_box is unset (the prior rebuild-per-step behavior). If the
+    # grid is modified outside `step` (e.g. a migrated old-format
+    # checkpoint), re-derive with `rebuild_edt(state, cfg)`.
+    edt: jax.Array | None = None
+
+
+def _lf_cap(cfg: SLAMConfig) -> float:
+    """JFA propagation cap: the LF pdf only resolves ~5 sigma of distance
+    (beyond that the z_rand floor dominates)."""
+    return 5.0 * cfg.mcl.meas_stddev + 2.0
+
+
+def _needs_field(cfg: SLAMConfig) -> bool:
+    return cfg.mcl.measurement in (
+        "likelihood_field",
+        "likelihood_field_table",
+        "likelihood_field_auto",
+    ) or cfg.scanmatch is not None
+
+
+def rebuild_edt(state: SLAMState, cfg: SLAMConfig) -> SLAMState:
+    """(Re)derive the cached EDT from the grid (init, or after any
+    out-of-band grid edit such as checkpoint migration)."""
+    if cfg.edt_box is None or not _needs_field(cfg):
+        return state.replace(edt=None)
+    from slam_tpu.ops import edt as edtlib
+
+    blocked = gridlib.blocked_from_logodds(state.grid)
+    return state.replace(edt=edtlib.edt_jfa(blocked, max_dist=_lf_cap(cfg)))
 
 
 def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
     h, w = cfg.map.shape
     if pose is None:
         pose = mcl_mod.starting_pose(h, w)
-    return SLAMState(
+    state = SLAMState(
         mcl=mcl_mod.init(key, cfg.mcl.n_particles, pose),
         grid=gridlib.uniform_logodds((h, w)),
         est_pose=pose,
     )
+    return rebuild_edt(state, cfg)
 
 
 def resolve_map_pose(cfg: SLAMConfig) -> str:
@@ -95,7 +128,9 @@ def step(
 
     # The likelihood-field measurement paths and the scan-matching
     # refinement share one capped JFA EDT, built here so it isn't computed
-    # twice (mcl.update builds its own only when handed a raw mask).
+    # twice (mcl.update builds its own only when handed a raw mask). With
+    # `cfg.edt_box` the field comes from the state's incremental cache
+    # instead of a per-step full-map rebuild.
     lf_meas = cfg.mcl.measurement in (
         "likelihood_field",
         "likelihood_field_table",
@@ -105,12 +140,18 @@ def step(
     if lf_meas or cfg.scanmatch is not None:
         from slam_tpu.ops import edt as edtlib, rayfield
 
-        lf_field = rayfield.RayField(
-            blocked=blocked,
-            edt=edtlib.edt_jfa(
-                blocked, max_dist=5.0 * cfg.mcl.meas_stddev + 2.0
-            ),
-        )
+        if cfg.edt_box is not None:
+            if state.edt is None:
+                raise ValueError(
+                    "SLAMConfig.edt_box is set but the state carries no "
+                    "EDT cache — initialize with slam.init(cfg) or call "
+                    "slam.rebuild_edt(state, cfg) after out-of-band grid "
+                    "edits (e.g. a migrated checkpoint)"
+                )
+            edt = state.edt
+        else:
+            edt = edtlib.edt_jfa(blocked, max_dist=_lf_cap(cfg))
+        lf_field = rayfield.RayField(blocked=blocked, edt=edt)
 
     st = mcl_mod.update(
         st,
@@ -178,7 +219,21 @@ def step(
     # grid — always maps (with map_every=k>1 the raw modulo skipped it).
     do_map = ((st.updates - 1) % cfg.map_every) == 0
     new_grid = jnp.where(do_map, new_grid, state.grid)
-    return SLAMState(mcl=st, grid=new_grid, est_pose=est_pose)
+    new_edt = state.edt
+    if cfg.edt_box is not None and lf_field is not None:
+        from slam_tpu.ops import edt as edtlib
+
+        # Incremental cache refresh: bitwise-equal to a full rebuild of
+        # the NEW grid's EDT (exactness by the JFA reach bound, unit- and
+        # e2e-tested); skipped map updates diff empty and keep the cache.
+        new_edt = edtlib.edt_jfa_refresh(
+            state.edt,
+            blocked,
+            gridlib.blocked_from_logodds(new_grid),
+            max_dist=_lf_cap(cfg),
+            box=cfg.edt_box,
+        )
+    return SLAMState(mcl=st, grid=new_grid, est_pose=est_pose, edt=new_edt)
 
 
 def predict_only(state: SLAMState, odom: Odometry, cfg: SLAMConfig) -> SLAMState:

@@ -61,7 +61,43 @@ def edt_exact(blocked: jax.Array, block: int = 64) -> jax.Array:
     return jnp.sqrt(jnp.minimum(e2, big * big))
 
 
-def edt_jfa(blocked: jax.Array, max_dist: float | None = None) -> jax.Array:
+def _jfa_steps(max_dim: int, max_dist: float | None) -> list:
+    """The JFA+1 pass step sizes (shared by the full and windowed runs —
+    both must use the IDENTICAL list for the bitwise-equality argument in
+    `edt_jfa_refresh` to hold)."""
+    if max_dist is None:
+        s = 1 << max(0, math.ceil(math.log2(max_dim)) - 1)
+    else:
+        rng = max(1, min(max_dim, int(math.ceil(max_dist))))
+        s = 1 << math.ceil(math.log2(rng))
+    steps = []
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    steps.append(1)  # the "+1" refinement pass
+    return steps
+
+
+def jfa_reach(max_dist: float) -> int:
+    """L-infinity propagation reach of the capped JFA: the sum of all pass
+    step sizes. A cell's final (distance, seed) value depends ONLY on the
+    initial seed mask within this Chebyshev radius — every JFA chain from a
+    cell visits offsets that are partial sums of the per-pass steps, so no
+    seed farther than the total sum can ever be adopted. This is the key
+    locality bound behind the incremental rebuild (`edt_jfa_refresh`):
+    flipping cells in a set C can change the transform only within
+    C dilated by `reach`, and a windowed re-run with a `reach`-wide margin
+    reproduces the full-map result BITWISE inside the window's interior."""
+    # max_dim large enough not to clamp (the refresh path asserts cap <=
+    # window <= map dims).
+    return sum(_jfa_steps(1 << 30, max_dist))
+
+
+def edt_jfa(
+    blocked: jax.Array,
+    max_dist: float | None = None,
+    sentinel: float | None = None,
+) -> jax.Array:
     """Jump-flooding EDT (JFA+1), f32[H, W] pixels.
 
     Gather-free: every pass is 8 rolls + elementwise mins, so a full
@@ -77,9 +113,13 @@ def edt_jfa(blocked: jax.Array, max_dist: float | None = None) -> jax.Array:
     JFA+1 approximation); farther cells saturate to the h+w sentinel. The
     likelihood-field measurement only resolves ~5 sigma of distance, so
     its per-step rebuild uses a ~30 px cap (models/mcl.py update).
+
+    `sentinel` overrides the no-seed saturation value (default h + w); the
+    windowed refresh passes the FULL map's sentinel so composited windows
+    saturate identically to a full-map run.
     """
     h, w = blocked.shape
-    big = jnp.float32(h + w)
+    big = jnp.float32(h + w if sentinel is None else sentinel)
     ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     iif = ii.astype(jnp.float32)
@@ -95,24 +135,25 @@ def edt_jfa(blocked: jax.Array, max_dist: float | None = None) -> jax.Array:
 
     d2 = d2_of(idx)
 
-    max_dim = max(h, w)
-    if max_dist is None:
-        s = 1 << max(0, math.ceil(math.log2(max_dim)) - 1)
-    else:
-        rng = max(1, min(max_dim, int(math.ceil(max_dist))))
-        s = 1 << math.ceil(math.log2(rng))
-    steps = []
-    while s >= 1:
-        steps.append(s)
-        s //= 2
-    steps.append(1)  # the "+1" refinement pass
+    steps = _jfa_steps(max(h, w), max_dist)
 
+    # Each pass reads ONLY the previous pass's field (classic ping-pong
+    # JFA): the 8 rolled candidates are independent reads of `idx`, so a
+    # seed moves at most `s` (Chebyshev) per pass and the total
+    # propagation reach is exactly sum(steps) — the locality bound
+    # `jfa_reach` that the incremental refresh's bitwise-exactness proof
+    # rests on. (An earlier in-place variant chained updates through the
+    # direction loop, which let a seed hop up to 3s per pass — quality
+    # was no better and the reach bound tripled, tripling the refresh
+    # margin.) Independent reads also hand XLA a 9-way tree min to fuse
+    # instead of 8 serially-dependent select chains.
     for s in steps:
+        src_idx = idx
         for di in (-s, 0, s):
             for dj in (-s, 0, s):
                 if di == 0 and dj == 0:
                     continue
-                idx_r = jnp.roll(idx, (di, dj), (0, 1))
+                idx_r = jnp.roll(src_idx, (di, dj), (0, 1))
                 # Invalidate wrapped-around entries.
                 valid = jnp.ones((h, w), bool)
                 if di > 0:
@@ -129,3 +170,127 @@ def edt_jfa(blocked: jax.Array, max_dist: float | None = None) -> jax.Array:
                 d2 = jnp.where(better, cand, d2)
 
     return jnp.sqrt(jnp.minimum(d2, big * big))
+
+
+def _refresh_plan(blocked_old, blocked_new, *, reach: int, box: int):
+    """(any_diff, fits, si, sj) for `edt_jfa_refresh`: the flipped-cell
+    bbox, the window placement (clipped to the map), and whether the bbox
+    dilated by `reach` fits the window's composite interior — the interior
+    margin is `reach` except along window edges flush with MAP edges
+    (chains clip identically there, so no margin is needed)."""
+    h, w = blocked_new.shape
+    diff = blocked_old ^ blocked_new
+    rows = jnp.any(diff, axis=1)
+    cols = jnp.any(diff, axis=0)
+    any_diff = jnp.any(rows)
+    r0 = jnp.argmax(rows).astype(jnp.int32)
+    r1 = (h - 1 - jnp.argmax(rows[::-1])).astype(jnp.int32)
+    c0 = jnp.argmax(cols).astype(jnp.int32)
+    c1 = (w - 1 - jnp.argmax(cols[::-1])).astype(jnp.int32)
+
+    def window_start(lo, hi, dim):
+        center = (lo + hi + 1) // 2
+        return jnp.clip(center - box // 2, 0, dim - box)
+
+    si = window_start(r0, r1, h)
+    sj = window_start(c0, c1, w)
+
+    def covers(lo, hi, start, dim):
+        cov_lo = jnp.where(start == 0, 0, start + reach)
+        cov_hi = jnp.where(start == dim - box, dim, start + box - reach)
+        need_lo = jnp.maximum(lo - reach, 0)
+        need_hi = jnp.minimum(hi + reach + 1, dim)
+        return (need_lo >= cov_lo) & (need_hi <= cov_hi)
+
+    fits = covers(r0, r1, si, h) & covers(c0, c1, sj, w)
+    return any_diff, fits, si, sj
+
+
+def edt_jfa_refresh(
+    edt_prev: jax.Array,
+    blocked_old: jax.Array,
+    blocked_new: jax.Array,
+    *,
+    max_dist: float,
+    box: int,
+) -> jax.Array:
+    """Incrementally refresh a capped JFA EDT after a LOCALIZED map edit.
+
+    SLAM rebuilds the likelihood-field EDT every map update, but each scan
+    only flips the blocked status of cells near the robot (newly observed
+    walls, re-carved cells) while the JFA's influence is strictly local:
+    by `jfa_reach`, a flipped-cell set C can change (bitwise) only cells
+    within Chebyshev distance R = reach(max_dist) of C, and a windowed
+    re-run whose margin to the window border is >= R reproduces the
+    full-map run bitwise in its interior (every JFA chain — the offsets
+    are partial sums of the pass steps — stays inside the window, so the
+    candidate seed sets, their arrival order, and the tie-breaks are
+    identical). The refresh therefore:
+
+      1. computes the flipped-cell bbox (one elementwise pass + row/col
+         reductions over the map — trivial next to the JFA's ~7 full-map
+         passes);
+      2. if bbox dilated by R fits the interior of a `box`-sized window
+         (window edges flush with MAP edges need no margin: chains clip
+         identically on both), re-runs the capped JFA on the window alone
+         and composites the interior back — O(box^2 log cap) instead of
+         O(H W log cap);
+      3. otherwise (wide-area edits: entering a large unexplored room)
+         falls back to the full rebuild;
+      4. with no flips at all, returns `edt_prev` untouched.
+
+    All three outcomes are BITWISE equal to `edt_jfa(blocked_new,
+    max_dist)` given `edt_prev == edt_jfa(blocked_old, max_dist)` — the
+    exactness is proved by the reach argument, not sampled; unit tests
+    assert it over randomized edits (tests/test_edt.py).
+
+    The reference pays per-beam marching against the updated map instead
+    (`slam/raycast.cpp:143-223`) — locality it exploits ray by ray; this
+    is the field-level analog. `box` must satisfy
+    4 * reach < box <= min(H, W) (validated) — diffs wider than
+    box - 2*reach fall back.
+    """
+    h, w = blocked_new.shape
+    if blocked_old.shape != (h, w) or edt_prev.shape != (h, w):
+        raise ValueError("edt/mask shape mismatch")
+    reach = jfa_reach(max_dist)
+    if box > min(h, w):
+        raise ValueError(
+            f"edt refresh box {box} exceeds map dims {(h, w)} — use a "
+            "smaller box or the full rebuild"
+        )
+    if box <= 4 * reach:
+        raise ValueError(
+            f"edt refresh box {box} must exceed 4*reach = {4 * reach} "
+            f"(reach = sum of capped-JFA steps for max_dist={max_dist}); "
+            "smaller boxes would always fall back to the full rebuild"
+        )
+
+    any_diff, fits, si, sj = _refresh_plan(
+        blocked_old, blocked_new, reach=reach, box=box
+    )
+
+    def local_fn(_):
+        win_mask = jax.lax.dynamic_slice(blocked_new, (si, sj), (box, box))
+        win_edt = edt_jfa(win_mask, max_dist=max_dist, sentinel=h + w)
+        li = jax.lax.broadcasted_iota(jnp.int32, (box, box), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (box, box), 1)
+        in_i = ((li >= reach) | (si == 0)) & (
+            (li < box - reach) | (si == h - box)
+        )
+        in_j = ((lj >= reach) | (sj == 0)) & (
+            (lj < box - reach) | (sj == w - box)
+        )
+        prev_win = jax.lax.dynamic_slice(edt_prev, (si, sj), (box, box))
+        merged = jnp.where(in_i & in_j, win_edt, prev_win)
+        return jax.lax.dynamic_update_slice(edt_prev, merged, (si, sj))
+
+    def full_fn(_):
+        return edt_jfa(blocked_new, max_dist=max_dist)
+
+    return jax.lax.cond(
+        any_diff,
+        lambda _: jax.lax.cond(fits, local_fn, full_fn, None),
+        lambda _: edt_prev,
+        None,
+    )

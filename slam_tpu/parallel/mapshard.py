@@ -218,6 +218,10 @@ class MapShardedGridSLAM:
 
     def init(self, pose: Pose | None = None, seed: int = 0) -> slam_mod.SLAMState:
         state = slam_mod.init(jax.random.key(seed), self.cfg, pose)
+        # This engine's measurement is the block-sharded march; it never
+        # consumes the incremental-EDT cache and its step would drop the
+        # leaf — keep the state pytree structure consistent from init.
+        state = state.replace(edt=None)
         state = sharded_mod.shard_state(
             state, self.mesh, self.cfg.mcl.n_particles
         )

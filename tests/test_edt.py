@@ -65,3 +65,121 @@ def test_jfa_capped_matches_exact_within_cap(rng):
     # distance (saturating at h+w) — never underestimate.
     far = full > cap
     assert np.all(capped[far] >= full[far] - 1e-3)
+
+
+class TestJFARefresh:
+    """Incremental capped-JFA refresh (round 5, `edt_jfa_refresh`): bitwise
+    equality with the full rebuild — by the reach bound, not sampling."""
+
+    CAP = 3.0  # s0 = 4, reach = 2*s0 = 8, so box must exceed 32
+
+    def _refresh(self, old, new, box=48):
+        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+
+        prev = edt_jfa(jnp.asarray(old), max_dist=self.CAP)
+        got = edt_jfa_refresh(
+            prev, jnp.asarray(old), jnp.asarray(new),
+            max_dist=self.CAP, box=box,
+        )
+        want = edt_jfa(jnp.asarray(new), max_dist=self.CAP)
+        return np.asarray(got), np.asarray(want), prev
+
+    def _plan(self, old, new, box=48):
+        from slam_tpu.ops.edt import _refresh_plan, jfa_reach
+
+        return _refresh_plan(
+            jnp.asarray(old), jnp.asarray(new),
+            reach=jfa_reach(self.CAP), box=box,
+        )
+
+    def test_reach_value(self):
+        from slam_tpu.ops.edt import jfa_reach
+
+        # cap 3 -> s0 = 4, steps [4,2,1,1] -> reach 8
+        assert jfa_reach(3.0) == 8
+        # cap 27 -> s0 = 32, steps [32,16,8,4,2,1,1] -> reach 64
+        assert jfa_reach(27.0) == 64
+
+    def test_local_edit_bitwise(self, rng):
+        old = rng.random((96, 128)) < 0.03
+        new = old.copy()
+        new[50:54, 60:66] ^= True  # flips both ways (add + remove seeds)
+        got, want, _ = self._refresh(old, new)
+        np.testing.assert_array_equal(got, want)
+        any_diff, fits, _, _ = self._plan(old, new)
+        assert bool(any_diff) and bool(fits)  # the WINDOW path ran
+
+    def test_no_edit_returns_prev_untouched(self, rng):
+        old = rng.random((96, 128)) < 0.03
+        got, want, prev = self._refresh(old, old.copy())
+        np.testing.assert_array_equal(got, np.asarray(prev))
+        np.testing.assert_array_equal(got, want)
+
+    def test_wide_edit_falls_back_bitwise(self, rng):
+        old = rng.random((96, 128)) < 0.03
+        new = old.copy()
+        new[2, 2] ^= True
+        new[90, 120] ^= True  # opposite corners: cannot fit any window
+        got, want, _ = self._refresh(old, new)
+        np.testing.assert_array_equal(got, want)
+        any_diff, fits, _, _ = self._plan(old, new)
+        assert bool(any_diff) and not bool(fits)
+
+    @pytest.mark.parametrize("corner", [(0, 0), (0, 120), (92, 0), (92, 120)])
+    def test_map_edge_edits_bitwise(self, rng, corner):
+        """Edits at map corners: the window sits flush with the map edge,
+        where the composite interior extends to the edge (chains clip
+        identically) — still bitwise and still the window path."""
+        old = rng.random((96, 128)) < 0.03
+        new = old.copy()
+        i, j = corner
+        new[i : i + 4, j : j + 6] ^= True
+        got, want, _ = self._refresh(old, new)
+        np.testing.assert_array_equal(got, want)
+        any_diff, fits, _, _ = self._plan(old, new)
+        assert bool(any_diff) and bool(fits)
+
+    def test_seed_removal_resaturates(self):
+        """Removing the ONLY seed in a region must resaturate cells to the
+        sentinel through the window path (the window rebuild starts from
+        scratch, not from the stale field)."""
+        old = np.zeros((96, 128), bool)
+        old[48, 64] = True
+        old[10, 10] = True  # a far seed that stays
+        new = old.copy()
+        new[48, 64] = False
+        got, want, _ = self._refresh(old, new)
+        np.testing.assert_array_equal(got, want)
+        assert got[48, 64] > self.CAP  # saturated again
+
+    def test_randomized_edit_sweep(self, rng):
+        """Randomized placements and sizes, both fitting and not: always
+        bitwise equal to the full rebuild."""
+        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+
+        old = rng.random((80, 96)) < 0.05
+        for _ in range(12):
+            new = old.copy()
+            ei = rng.integers(0, 76)
+            ej = rng.integers(0, 92)
+            eh = int(rng.integers(1, 24))
+            ew = int(rng.integers(1, 24))
+            new[ei : ei + eh, ej : ej + ew] ^= rng.random((min(eh, 80 - ei), min(ew, 96 - ej))) < 0.3
+            prev = edt_jfa(jnp.asarray(old), max_dist=self.CAP)
+            got = edt_jfa_refresh(
+                prev, jnp.asarray(old), jnp.asarray(new),
+                max_dist=self.CAP, box=40,
+            )
+            want = edt_jfa(jnp.asarray(new), max_dist=self.CAP)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+            old = new  # chain: the refreshed field is the next prev
+
+    def test_validation(self):
+        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+
+        old = jnp.zeros((64, 64), bool)
+        prev = edt_jfa(old, max_dist=self.CAP)
+        with pytest.raises(ValueError, match="4\\*reach"):
+            edt_jfa_refresh(prev, old, old, max_dist=self.CAP, box=32)
+        with pytest.raises(ValueError, match="exceeds map dims"):
+            edt_jfa_refresh(prev, old, old, max_dist=self.CAP, box=80)

@@ -779,3 +779,74 @@ def test_map_pose_auto_resolution_and_equivalence():
 
     for la, lb in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
         np.testing.assert_array_equal(raw(la), raw(lb))
+
+
+def test_incremental_edt_slam_bitwise_equivalence():
+    """SLAMConfig.edt_box (round 5): a full SLAM run with the incremental
+    EDT cache is BIT-identical to the rebuild-per-step run — across the
+    exploration phase (wide flip bboxes falling back to the full rebuild)
+    and the converged phase (window refreshes and no-flip skips)."""
+    import dataclasses as dc
+
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+    from slam_tpu.models.simulate import synthetic_room
+
+    h = w = 128
+    base = SLAMConfig(
+        # meas_stddev=1 -> cap 7 -> reach 16 -> min box 65
+        mcl=MCLConfig(
+            n_particles=48, meas_stddev=1.0,
+            measurement="likelihood_field_table",
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(n_rays=20, max_dist=60.0),
+        raycast=RaycastConfig(step=1.0, max_dist=60.0, backend="sdf"),
+    )
+    cfg_inc = dc.replace(base, edt_box=72)
+    blocked = jnp.asarray(synthetic_room(h, w))
+    start = Pose.create(64.0, 64.0, 0.3)
+    odom = Odometry.create(0.01, 1.5, 0.01)
+
+    def run(cfg):
+        eng = slam_mod.GridSLAM(cfg, seed=0)
+        st = eng.init(start)
+        gt = start
+        out = []
+        for t in range(12):
+            scan = fake_lidar.scan(blocked, gt, cfg.lidar, cfg.raycast)
+            st = eng.step(st, odom, scan)
+            out.append(st)
+            th1 = gt.theta + 0.01
+            gt = Pose.create(
+                gt.x + 1.5 * jnp.cos(th1),
+                gt.y + 1.5 * jnp.sin(th1),
+                th1 + 0.01,
+            )
+        return out
+
+    ref_states = run(base)
+    inc_states = run(cfg_inc)
+    for t, (a, b) in enumerate(zip(ref_states, inc_states)):
+        np.testing.assert_array_equal(
+            np.asarray(a.grid), np.asarray(b.grid), err_msg=f"grid t={t}"
+        )
+        for name in ("x", "y", "theta"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a.est_pose, name)),
+                np.asarray(getattr(b.est_pose, name)),
+                err_msg=f"est_pose.{name} t={t}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(a.mcl.particles.log_weight),
+            np.asarray(b.mcl.particles.log_weight),
+            err_msg=f"log_weight t={t}",
+        )
+    # The cache invariant itself: state.edt == full rebuild of the grid.
+    from slam_tpu.core import grid as gridlib
+    from slam_tpu.ops import edt as edtlib
+
+    final = inc_states[-1]
+    want = edtlib.edt_jfa(
+        gridlib.blocked_from_logodds(final.grid), max_dist=7.0
+    )
+    np.testing.assert_array_equal(np.asarray(final.edt), np.asarray(want))
