@@ -212,6 +212,7 @@ def lf_score_table(
     bin_sharding=None,
     origin=None,
     out_shape=None,
+    lpad=None,
 ):
     """Correlative likelihood-field score table over explicit heading bins.
 
@@ -247,6 +248,14 @@ def lf_score_table(
     with T * si * sj instead of map area — the spatial analog of the
     adaptive heading window (see `particle_log_weights_lf_table`'s
     ``box_size``). The caller must guarantee ``0 <= i0 <= H - si`` (clip).
+
+    ``lpad`` supplies the padded per-cell score window directly (shape
+    ``(si + 2pad, sj + 2pad)``, row 0 = the full padded field's row
+    ``i0 - pad``) and skips computing it here — the map-block-sharded
+    engine assembles this window from the DISTRIBUTED EDT (each block
+    contributes its rows, one psum) so no device ever materializes the
+    full-map score field (slam_tpu.parallel.edt.lf_window_sharded).
+    Requires ``out_shape``; ``edt`` is ignored except for its shape.
     """
     h, w = edt.shape
     si, sj = (h, w) if out_shape is None else out_shape
@@ -261,10 +270,24 @@ def lf_score_table(
     # dtype="bf16" halves that traffic. Accumulation stays f32 (the einsum
     # below upcasts), so only the per-cell score quantizes (~0.4% rel).
     store = jnp.bfloat16 if dtype == "bf16" else jnp.float32
-    L = lf_log_score_field(
-        edt, stddev=stddev, z_hit=z_hit, z_rand=z_rand, max_dist=rc.max_dist
-    ).astype(store)
-    if origin is None:
+    if lpad is not None:
+        if out_shape is None:
+            raise ValueError("lf_score_table(lpad=...) requires out_shape")
+        if lpad.shape != (si + 2 * pad, sj + 2 * pad):
+            raise ValueError(
+                f"lpad shape {lpad.shape} != expected "
+                f"{(si + 2 * pad, sj + 2 * pad)}"
+            )
+        lpad = lpad.astype(store)
+        i0 = j0 = jnp.int32(0)
+    else:
+        L = lf_log_score_field(
+            edt, stddev=stddev, z_hit=z_hit, z_rand=z_rand,
+            max_dist=rc.max_dist,
+        ).astype(store)
+    if lpad is not None:
+        pass  # supplied by the caller (see docstring)
+    elif origin is None:
         lpad = jnp.pad(L, pad, constant_values=jnp.asarray(floor_val, store))
     else:
         # Box build: the windows only ever read the (si + 2pad, sj + 2pad)

@@ -135,8 +135,19 @@ def scan_logodds_update_sharded(
 class MapShardedGridSLAM:
     """Full grid SLAM with the log-odds grid row-block-sharded over 'b' and
     particles sharded over 'p'. Same pure step functions as the replicated
-    engines; the block-sharded raycast replaces the measurement model and
-    the block-local scatter replaces the map update."""
+    engines; block-sharded measurement models replace the replicated ones
+    and the block-local scatter replaces the map update.
+
+    Measurement tiers (round 5 — SURVEY section 7.8 completed for dynamic
+    maps): ``beam`` marches rays per block (halo-free min-combine);
+    ``likelihood_field`` and ``likelihood_field_table`` (with the
+    mandatory ``lf_table_box``) run against a DISTRIBUTED capped-JFA EDT
+    (`slam_tpu.parallel.edt`): each block iterates the shifted-min passes
+    with per-pass row halos from its neighbors (ppermute), so beyond-HBM
+    maps get the fast measurement tiers without any device materializing
+    a full-map array. Numerics match the replicated engine bitwise up to
+    psum single-contribution sums (equivalence-tested in
+    tests/test_mapshard.py)."""
 
     def __init__(self, mesh: Mesh, cfg: SLAMConfig):
         if cfg.scanmatch is not None:
@@ -152,11 +163,27 @@ class MapShardedGridSLAM:
                 "defeats map-block sharding. Use ShardedGridSLAM (particle "
                 "sharding) for scan-matched estimates, or unset scanmatch."
             )
+        meas = cfg.mcl.measurement
+        if meas == "likelihood_field_auto":
+            raise ValueError(
+                "MapShardedGridSLAM does not support "
+                "measurement='likelihood_field_auto': pick "
+                "'likelihood_field' (dispersed clouds) or "
+                "'likelihood_field_table' (tracking) explicitly."
+            )
+        if meas == "likelihood_field_table" and cfg.mcl.lf_table_box is None:
+            raise ValueError(
+                "MapShardedGridSLAM's table tier requires "
+                "MCLConfig.lf_table_box: the dense full-map table would "
+                "materialize a [T, H, W] array per device — exactly the "
+                "footprint map-block sharding exists to avoid."
+            )
         self.mesh = mesh
         self.cfg = cfg
         rfn = sharded_mod._resample_fn(mesh, cfg.mcl)
+        lf_meas = meas in ("likelihood_field", "likelihood_field_table")
 
-        def measurement(grid_l, poses, scan):
+        def measurement_march(grid_l, poses, scan):
             blocked = gridlib.blocked_from_logodds(grid_l)
             sp = sensor_pose(poses, cfg.mcl.scanner_offset)
             angles = sp.theta[:, None] + scan.angles[None, :]
@@ -181,6 +208,98 @@ class MapShardedGridSLAM:
                 eps=cfg.mcl.meas_epsilon,
             )
             return jnp.sum(lw, axis=-1)
+
+        def measurement_lf(grid_l, poses, scan):
+            import math as _math
+
+            from slam_tpu.core import grid as _grid
+            from slam_tpu.ops import measurement as meas_ops
+            from slam_tpu.parallel import edt as dist_edt
+
+            h, w = grid_l.shape
+            blocked = gridlib.blocked_from_logodds(grid_l)
+            cap = 5.0 * cfg.mcl.meas_stddev + 2.0
+            edt = dist_edt.edt_jfa_sharded(mesh, blocked, max_dist=cap)
+            if meas == "likelihood_field":
+                return dist_edt.lf_log_weights_sharded(
+                    mesh,
+                    edt,
+                    poses,
+                    scan,
+                    rc=cfg.raycast,
+                    scanner_offset=cfg.mcl.scanner_offset,
+                    stddev=cfg.mcl.meas_stddev,
+                    z_hit=cfg.mcl.lf_z_hit,
+                    z_rand=cfg.mcl.lf_z_rand,
+                )
+            # Boxed-table tier: the heading window / box center are plain
+            # particle reductions (GSPMD psums them over 'p' like the
+            # replicated engine); the padded score WINDOW — (box + 2 pad)^2,
+            # a few MB regardless of map size — is assembled from the
+            # sharded EDT by one psum over 'b'; the table build and the
+            # per-particle lookup then reuse the replicated code paths
+            # verbatim.
+            m = cfg.mcl
+            t = int(m.lf_table_bins)
+            sp = sensor_pose(poses, m.scanner_offset)
+            c = jnp.mean(jnp.cos(sp.theta))
+            s = jnp.mean(jnp.sin(sp.theta))
+            mu = jnp.arctan2(s, c)
+            rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
+            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+            halfwidth = jnp.clip(
+                m.lf_table_spread * cstd + m.lf_table_min_halfwidth,
+                m.lf_table_min_halfwidth,
+                jnp.pi,
+            )
+            binw = 2.0 * halfwidth / (t - 1)
+            headings = mu + (
+                jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0
+            ) * binw
+            si = min(int(m.lf_table_box), h)
+            sj = min(int(m.lf_table_box), w)
+            mi, mj = _grid.world_to_cell(
+                (h, w), jnp.mean(sp.x), jnp.mean(sp.y)
+            )
+            i0 = jnp.clip(mi - si // 2, 0, h - si).astype(jnp.int32)
+            j0 = jnp.clip(mj - sj // 2, 0, w - sj).astype(jnp.int32)
+            pad = int(_math.ceil(cfg.raycast.max_dist)) + 1
+            window = dist_edt.lf_window_sharded(
+                mesh,
+                edt,
+                i0 - pad,
+                j0 - pad,
+                out_shape=(si + 2 * pad, sj + 2 * pad),
+                stddev=m.meas_stddev,
+                z_hit=m.lf_z_hit,
+                z_rand=m.lf_z_rand,
+                max_dist=cfg.raycast.max_dist,
+            )
+            table = meas_ops.lf_score_table(
+                edt,
+                scan,
+                headings,
+                rc=cfg.raycast,
+                stddev=m.meas_stddev,
+                z_hit=m.lf_z_hit,
+                z_rand=m.lf_z_rand,
+                dtype=m.lf_table_dtype,
+                out_shape=(si, sj),
+                lpad=window,
+            )
+            tbl = jnp.moveaxis(table, 0, -1)
+            prep = (tbl, mu, binw, halfwidth, i0, j0)
+            return meas_ops.lf_table_lookup(
+                prep,
+                poses,
+                scan,
+                rc=cfg.raycast,
+                scanner_offset=m.scanner_offset,
+                z_rand=m.lf_z_rand,
+                grid_shape=(h, w),
+            )
+
+        measurement = measurement_lf if lf_meas else measurement_march
 
         def step(state, odom, scan):
             st = mcl_mod.predict(state.mcl, odom, cfg.motion.alphas)
