@@ -124,6 +124,101 @@ def main() -> None:
     )
     assert local_rows == n // args.num_processes, local_rows
 
+    # --- Cross-process FULL SLAM step (VERDICT r4 item 3) ---------------
+    # The complete ShardedGridSLAM step — boxed-table measurement (psum
+    # window stats over 'p'), reduce-scatter resampler, shared-map update
+    # — across the 2-process gloo boundary, vs the single-device engine.
+    import dataclasses as dc
+
+    from slam_tpu.core.config import MapConfig, MotionConfig, SLAMConfig
+    from slam_tpu.models import slam as slam_mod
+    from slam_tpu.parallel import ShardedGridSLAM
+    from slam_tpu.parallel.mapshard import MapShardedGridSLAM, grid_sharding
+
+    def slam_cfg(measurement, box, hh):
+        return SLAMConfig(
+            mcl=MCLConfig(
+                n_particles=n,
+                meas_stddev=3.0,
+                measurement=measurement,
+                lf_table_box=box,
+            ),
+            map=MapConfig(height=hh, width=hh),
+            lidar=LidarConfig(n_rays=16, max_dist=60.0),
+            motion=MotionConfig(alphas=(1e-3,) * 4),
+            raycast=RaycastConfig(
+                step=1.0, max_dist=60.0, chunk=16, backend="sdf"
+            ),
+        )
+
+    def run_cross_process_slam(engine_cls, mesh_, cfg_, grid_spec=None):
+        hh = cfg_.map.height
+        room = jnp.asarray(synthetic_room(hh, hh))
+        p0 = Pose.create(hh / 2.0, hh / 2.0, np.pi / 2)
+        z = fake_lidar.scan(room, p0, cfg_.lidar, cfg_.raycast)
+        od = Odometry.create(0.05, 1.5, 0.05)
+
+        # Single-device reference, computed process-locally.
+        ref_st = slam_mod.init(jax.random.PRNGKey(0), cfg_, p0)
+        for _ in range(2):
+            ref_st = slam_mod.step(ref_st, od, z, cfg_)
+
+        engine = engine_cls(mesh_, cfg_)
+        st0 = slam_mod.init(jax.random.PRNGKey(0), cfg_, p0)
+        shardings = sharded.state_shardings(st0, mesh_, n)
+        if grid_spec is not None:
+            shardings = shardings.replace(grid=grid_spec)
+        gst = jax.tree.map(to_global, st0, shardings)
+        for _ in range(2):
+            gst = engine.step(gst, od, z)
+
+        # The grid's output sharding is compiler-chosen (may be sharded
+        # over either axis), so compare it by a jitted GLOBAL reduction
+        # against the replicated local reference — the collectives of the
+        # comparison itself cross the process boundary too.
+        ref_grid = np.asarray(ref_st.grid)
+        grid_err = float(
+            jax.jit(lambda g: jnp.max(jnp.abs(g - jnp.asarray(ref_grid))))(
+                gst.grid
+            )
+        )
+        assert grid_err <= 1e-5, f"grid mismatch: max abs err {grid_err}"
+        got_x = multihost_utils.process_allgather(
+            gst.mcl.particles.pose.x, tiled=True
+        )
+        got_lw = multihost_utils.process_allgather(
+            gst.mcl.particles.log_weight, tiled=True
+        )
+        np.testing.assert_allclose(
+            got_x, np.asarray(ref_st.mcl.particles.pose.x), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            got_lw,
+            np.asarray(ref_st.mcl.particles.log_weight),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    # Particle-sharded engine: boxed table + the reduce-scatter resampler
+    # (mesh 'p' spans both processes).
+    run_cross_process_slam(
+        ShardedGridSLAM,
+        mesh,
+        slam_cfg("likelihood_field_table", 24, 64),
+    )
+
+    # Map-block-sharded engine: the grid itself (and its distributed JFA
+    # halo exchanges + window psums) crosses the process boundary. 'b'=2
+    # splits the 128-row map into 64-row blocks (>= the 32-cell JFA step).
+    mesh2 = make_mesh(n_devices, beam_axis=2)
+    cfg2 = slam_cfg("likelihood_field_table", 24, 128)
+    run_cross_process_slam(
+        MapShardedGridSLAM,
+        mesh2,
+        cfg2,
+        grid_spec=grid_sharding(mesh2),
+    )
+
     print(f"RESULT-OK {args.process_id}", flush=True)
 
 
