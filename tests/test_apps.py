@@ -155,3 +155,37 @@ def test_fleet_localization_app(tmp_path):
     )
     assert mean_ate < 10.0
     assert (tmp_path / "fleet.png").exists()
+
+
+def test_slam_replan_app(tmp_path):
+    """The round-5 capstone: lattice HA* replanning ON the evolving SLAM
+    grid, closed loop until the goal (erode -> plan -> follow). Tiny
+    config: a 96-cell room, short horizon — asserts the loop runs, plans
+    at least twice, and makes real progress toward the goal."""
+    import json as _json
+
+    from slam_tpu.apps import slam_replan
+
+    out = str(tmp_path / "nav.png")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = slam_replan.main(
+            [
+                "--size", "96", "--particles", "128", "--steps", "220",
+                "--n-rays", "16", "--max-dist", "50", "--table-box", "32",
+                "--replan-every", "25", "--speed", "2.0",
+                "--planner-batch", "64", "--max-rounds", "600",
+                "--tol", "8", "--out", out,
+            ]
+        )
+    rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["n_replans"] >= 2
+    assert rec["steps"] > 10
+    # Reached, or at least closed most of the start-goal gap (~80 cells).
+    assert rec["reached"] or rec["final_gt_err"] < 40.0, rec
+    import os
+
+    assert os.path.getsize(out) > 0
