@@ -163,13 +163,18 @@ def main(argv=None):
         lambda p, k: fake_lidar.scan(gt_blocked, p, lidar, cfg.raycast, key=k)
     )
 
+    def fetch_pose(p):
+        # One host fetch for all three scalars (each float() is a full
+        # tunnel round trip on the axon runtime).
+        x, y, th = jax.device_get((p.x, p.y, p.theta))
+        return float(x), float(y), float(th)
+
     t_all0 = time.perf_counter()
     steps_done = 0
     for t in range(args.steps):
         # --- plan / replan on the EVOLVING estimated map -----------------
         if t % args.replan_every == 0:
-            est = state.est_pose
-            ex, ey, eth = float(est.x), float(est.y), float(est.theta)
+            ex, ey, eth = fetch_pose(state.est_pose)
             t0 = time.perf_counter()
             est_blocked = np.asarray(state.grid > 0.0)
             est_blocked = inflate(est_blocked, args.radius)
@@ -186,8 +191,7 @@ def main(argv=None):
                 path = new_path
 
         # --- follow ------------------------------------------------------
-        est = state.est_pose
-        ex, ey, eth = float(est.x), float(est.y), float(est.theta)
+        ex, ey, eth = fetch_pose(state.est_pose)
         if math.hypot(gx - ex, gy - ey) <= args.tol:
             reached = True
             steps_done = t
@@ -213,7 +217,8 @@ def main(argv=None):
             fence(state.mcl.particles.log_weight)
             slam_s += time.perf_counter() - t0
         traj_est.append([ex, ey])
-        traj_gt.append([float(gt.x), float(gt.y)])
+        gtx, gty, _ = fetch_pose(gt)
+        traj_gt.append([gtx, gty])
         steps_done = t + 1
 
     wall = time.perf_counter() - t_all0

@@ -376,6 +376,37 @@ _G_SCALE = 64.0
 _INF_PACKED = np.int32(2**31 - 1)
 
 
+def _lattice_chain_device_impl(gp, inv_off, goal_idx, start_idx, k, max_len):
+    """Walk the lattice parent chain on device: scan of scalar gathers,
+    emitting visited flat state indices goal->start (-1 once finished).
+    The host then fetches only this [max_len] buffer instead of the full
+    [S] packed-cost array (see HybridAStar._walk_lattice_chain)."""
+    emask = jnp.int32((1 << _EDGE_BITS) - 1)
+    inf = jnp.int32(_INF_PACKED)
+
+    def body(carry, _):
+        idx, done = carry
+        safe = jnp.clip(idx, 0, gp.shape[0] - 1)
+        word = gp[safe]
+        stop = done | (idx < 0) | (idx == start_idx) | (word == inf)
+        out = jnp.where(stop, jnp.int32(-1), idx)
+        nxt = idx - inv_off[safe % k, word & emask]
+        return (jnp.where(stop, idx, nxt), stop), out
+
+    (_, _), cells = jax.lax.scan(
+        body,
+        (jnp.int32(goal_idx), jnp.bool_(False)),
+        None,
+        length=max_len,
+    )
+    return cells
+
+
+_lattice_chain_device = jax.jit(
+    _lattice_chain_device_impl, static_argnums=(4, 5)
+)
+
+
 def _lattice_feas_words(
     free: jax.Array, seg: np.ndarray, di_t, dj_t, nk_t, cfg
 ):
@@ -908,7 +939,8 @@ class HybridAStar:
             self._lat_dj = jnp.asarray(dj_l)
             self._lat_cost = jnp.asarray(cost_l)
             self._lat_edge = jnp.asarray(edge_l)
-            self._lat_inv_off = inv_off  # host-side (path recovery)
+            self._lat_inv_off = inv_off  # host copy (kept for debugging)
+            self._lat_inv_off_dev = jnp.asarray(inv_off)
         else:
             self.field = make_ray_field(~free, self.rc)
         self.reset_query(a, b)
@@ -1174,24 +1206,31 @@ class HybridAStar:
         idx = int(out.goal_idx[q])
         if idx < 0:
             return []
-        return self._walk_lattice_chain(
-            np.asarray(out.gp[q]), idx, int(out.start_idx[q])
-        )
+        return self._walk_lattice_chain(out.gp[q], idx, int(out.start_idx[q]))
 
     def _walk_lattice_chain(self, gp, idx, start_idx):
+        """Parent-chain walk ON DEVICE (round 5): the naive host walk
+        fetched the full [S] packed-cost array per recovery — 75 MB at
+        maze scale, seconds through a tunneled runtime and the dominant
+        cost of online replanning (apps/slam_replan.py measured 12.8 s
+        mean replans, nearly all of it this fetch). A fixed-length
+        lax.scan of scalar gathers walks the chain on device and the host
+        fetches only the [max_len] visited-index buffer (<= 128 KB)."""
         k = self.cfg.theta_res
         w = self.shape[1]
-        emask = (1 << _EDGE_BITS) - 1
-        path = []
-        seen = 0
-        while idx >= 0 and idx != start_idx and seen <= len(gp):
-            word = int(gp[idx])
-            if word == int(_INF_PACKED):
-                break
-            cell = idx // k
-            path.append((cell // w, cell % w))
-            idx = idx - int(self._lat_inv_off[idx % k, word & emask])
-            seen += 1
+        s_total = int(np.prod(self.shape)) * k
+        max_len = int(min(s_total, 1 << 15))
+        cells = _lattice_chain_device(
+            gp if hasattr(gp, "dtype") else jnp.asarray(gp),
+            self._lat_inv_off_dev,
+            jnp.int32(idx),
+            jnp.int32(start_idx),
+            k,
+            max_len,
+        )
+        cells = np.asarray(cells)
+        cells = cells[cells >= 0]
+        path = [(int(c) // k // w, int(c) // k % w) for c in cells]
         path.reverse()
         return path
 
@@ -1212,9 +1251,7 @@ class HybridAStar:
         start_idx = int(self.state.start_idx)
         seen = 0
         if self.cfg.mode == "lattice":
-            return self._walk_lattice_chain(
-                np.asarray(self.state.gp), idx, start_idx
-            )
+            return self._walk_lattice_chain(self.state.gp, idx, start_idx)
         parent = np.asarray(self.state.parent)
         while idx >= 0 and idx != start_idx and seen <= len(parent):
             cell = idx // k
