@@ -407,6 +407,12 @@ _lattice_chain_device = jax.jit(
 )
 
 
+# Compiled feasibility builders keyed by static signature (see
+# _lattice_feas_words): bounded by the distinct (map shape, cfg) pairs a
+# process uses — online replanning reuses one entry for every replan.
+_FEAS_BUILD_CACHE: dict = {}
+
+
 def _lattice_feas_words(
     free: jax.Array, seg: np.ndarray, di_t, dj_t, nk_t, cfg
 ):
@@ -421,14 +427,30 @@ def _lattice_feas_words(
 
     The whole build runs as ONE jitted program: the static-shift loops
     would otherwise dispatch thousands of tiny eager device ops (minutes
-    of round trips on a tunneled TPU)."""
+    of round trips on a tunneled TPU). The COMPILED program is cached by
+    its static signature (shape + steering tables + cfg): online
+    replanning rebuilds feasibility on every fresh map (`reset`), and a
+    per-call `jax.jit` re-traced and re-compiled this large unrolled
+    program each time — measured as the dominant replan cost in
+    apps/slam_replan.py (seconds per replan on the floor plan at
+    theta_res=24; with the cache only the first replan compiles)."""
     h, w = free.shape
     k, e, t, _ = seg.shape
     seqs = _lane_seqs(cfg, e)
     lanes_n = len(seqs)
     words = -(-lanes_n // 32)
+    cache_key = (
+        (h, w),
+        cfg,
+        seg.tobytes(),
+        np.asarray(di_t).tobytes(),
+        np.asarray(dj_t).tobytes(),
+        np.asarray(nk_t).tobytes(),
+    )
+    cached = _FEAS_BUILD_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(free)
 
-    @jax.jit
     def build(free):
         free = jnp.asarray(free, bool)
 
@@ -498,7 +520,9 @@ def _lattice_feas_words(
             .reshape(h * w * k, words)
         )
 
-    return build(free)
+    fn = jax.jit(build)
+    _FEAS_BUILD_CACHE[cache_key] = fn
+    return fn(free)
 
 
 @struct.dataclass
