@@ -502,3 +502,51 @@ def test_sharded_kidnap_recovery_with_capped_injection():
     assert np.mean(errs[-10:]) < 4.0, f"unstable tail: {errs[-10:]}"
     # The particle axis stayed sharded throughout.
     assert st.particles.pose.x.sharding.shard_shape((1024,))[0] == 256
+
+
+def test_sharded_slam_with_incremental_edt_matches_single_device():
+    """SLAMConfig.edt_box composes with the particle-sharded engine: the
+    cached EDT is replicated by state_shardings, the refresh's
+    dynamic-slice window runs under GSPMD, and the run matches the
+    single-device incremental engine bitwise."""
+    import dataclasses as dc
+
+    hh = 128
+    cfg = SLAMConfig(
+        # meas_stddev=1 -> cap 7 -> reach 16 -> min box 65
+        mcl=MCLConfig(
+            n_particles=64, meas_stddev=1.0,
+            measurement="likelihood_field_table",
+        ),
+        map=MapConfig(height=hh, width=hh),
+        lidar=LidarConfig(n_rays=16, max_dist=50.0),
+        raycast=RaycastConfig(step=1.0, max_dist=50.0, backend="sdf"),
+        edt_box=72,
+    )
+    blocked = jnp.asarray(synthetic_room(hh, hh))
+    pose = Pose.create(hh / 2.0, hh / 2.0, np.pi / 2)
+    scan = fake_lidar.scan(blocked, pose, cfg.lidar, cfg.raycast)
+    odom = Odometry.create(0.05, 1.5, 0.05)
+
+    st0 = slam_mod.init(jax.random.key(0), cfg, pose)
+    for _ in range(3):
+        st0 = slam_mod.step(st0, odom, scan, cfg)
+
+    mesh = make_mesh(8, beam_axis=2)
+    engine = ShardedGridSLAM(mesh, cfg)
+    st = engine.init(pose, seed=0)
+    for _ in range(3):
+        st = engine.step(st, odom, scan)
+    jax.block_until_ready(st)
+
+    np.testing.assert_allclose(
+        np.asarray(st.grid), np.asarray(st0.grid), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.edt), np.asarray(st0.edt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.mcl.particles.pose.x),
+        np.asarray(st0.mcl.particles.pose.x),
+        rtol=1e-4,
+    )
