@@ -119,6 +119,9 @@ def edt_jfa(
     saturate identically to a full-map run.
     """
     h, w = blocked.shape
+    if h >= (1 << 15) or w >= (1 << 16):
+        # The seed pack below carries (row << 16 | col) in an i32.
+        raise ValueError(f"map {h}x{w} exceeds the 32768x65536 JFA limit")
     big = jnp.float32(h + w if sentinel is None else sentinel)
     ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -126,11 +129,18 @@ def edt_jfa(
     jjf = jj.astype(jnp.float32)
 
     inf = jnp.float32(1e9)
-    idx = jnp.where(blocked, ii * w + jj, -1)  # -1 = no seed known
+    # Seed coords pack as (row << 16) | col, NOT row * w + col: the pass
+    # unpacks every rolled candidate (8 per cell per pass) and an i32
+    # divide/modulo is many VPU ops where shift/mask are single ones —
+    # the pass is ALU-bound, and the repack measured 15.1 -> 11.4 ms on
+    # the 2354x2464 maze on-chip (tools/jfa_pack_ab.py; a two-plane
+    # unpacked carry measured 20.5 — doubled roll traffic). -1 stays the
+    # no-seed sentinel.
+    idx = jnp.where(blocked, (ii << 16) | jj, -1)
 
     def d2_of(idx_):
-        si = (idx_ // w).astype(jnp.float32)
-        sj = (idx_ % w).astype(jnp.float32)
+        si = (idx_ >> 16).astype(jnp.float32)
+        sj = (idx_ & 0xFFFF).astype(jnp.float32)
         return jnp.where(idx_ < 0, inf, (iif - si) ** 2 + (jjf - sj) ** 2)
 
     d2 = d2_of(idx)

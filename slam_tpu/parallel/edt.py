@@ -53,6 +53,8 @@ def edt_jfa_sharded(
     sharding. Bitwise-equal to `edt_jfa(blocked, max_dist, sentinel)`.
     """
     h, w = blocked.shape
+    if h >= (1 << 15) or w >= (1 << 16):
+        raise ValueError(f"map {h}x{w} exceeds the 32768x65536 JFA limit")
     d = mesh.shape[map_axis]
     if h % d != 0:
         raise ValueError(f"map rows {h} not divisible by '{map_axis}'={d}")
@@ -74,11 +76,14 @@ def edt_jfa_sharded(
         off = bi * lh
         jj = jax.lax.broadcasted_iota(jnp.int32, (lh, w), 1)
         ii = off + jax.lax.broadcasted_iota(jnp.int32, (lh, w), 0)
-        idx = jnp.where(blk, ii * w + jj, -1)
+        # Same (global_row << 16) | col seed pack as the replicated
+        # transform (shift/mask unpack; see ops/edt.py) — global rows so
+        # halo-exchanged seeds stay valid across blocks.
+        idx = jnp.where(blk, (ii << 16) | jj, -1)
 
         def d2_of(idx_, rows):
-            si_ = (idx_ // w).astype(jnp.float32)
-            sj_ = (idx_ % w).astype(jnp.float32)
+            si_ = (idx_ >> 16).astype(jnp.float32)
+            sj_ = (idx_ & 0xFFFF).astype(jnp.float32)
             jjf = jax.lax.broadcasted_iota(
                 jnp.float32, idx_.shape, 1
             )
