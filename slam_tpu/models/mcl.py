@@ -141,15 +141,16 @@ def update(
         if not isinstance(field, rayfield.RayField):
             # Per-step rebuild (SLAM mode): the LF pdf only resolves ~5
             # sigma of distance (beyond that the z_rand floor dominates),
-            # so cap the JFA propagation radius — ~2x fewer passes, and the
-            # cap scales with the MODEL, not the map (big-map SLAM).
+            # so build the range-capped separable transform — work scales
+            # with the MODEL's cap, not the map (big-map SLAM), and it is
+            # exact within the cap (ops.edt.edt_capped).
             from slam_tpu.ops import edt as edtlib
 
             blocked_mask = jnp.asarray(field, bool)
             field = rayfield.RayField(
                 blocked=blocked_mask,
-                edt=edtlib.edt_jfa(
-                    blocked_mask, max_dist=5.0 * cfg.meas_stddev + 2.0
+                edt=edtlib.edt_capped(
+                    blocked_mask, 5.0 * cfg.meas_stddev + 2.0
                 ),
             )
         if field.edt is None:

@@ -36,7 +36,7 @@ class SLAMState:
     est_pose: Pose
     # DERIVED cache (round 5, `SLAMConfig.edt_box`): the capped JFA EDT of
     # `blocked_from_logodds(grid)`, refreshed incrementally per step
-    # (`ops.edt.edt_jfa_refresh`, bitwise-exact vs a full rebuild). None
+    # (`ops.edt.edt_refresh`, bitwise-exact vs a full rebuild). None
     # when edt_box is unset (the prior rebuild-per-step behavior). If the
     # grid is modified outside `step` (e.g. a migrated old-format
     # checkpoint), re-derive with `rebuild_edt(state, cfg)`.
@@ -65,7 +65,7 @@ def rebuild_edt(state: SLAMState, cfg: SLAMConfig) -> SLAMState:
     from slam_tpu.ops import edt as edtlib
 
     blocked = gridlib.blocked_from_logodds(state.grid)
-    return state.replace(edt=edtlib.edt_jfa(blocked, max_dist=_lf_cap(cfg)))
+    return state.replace(edt=edtlib.edt_capped(blocked, _lf_cap(cfg)))
 
 
 def init(key, cfg: SLAMConfig, pose: Pose | None = None) -> SLAMState:
@@ -150,7 +150,7 @@ def step(
                 )
             edt = state.edt
         else:
-            edt = edtlib.edt_jfa(blocked, max_dist=_lf_cap(cfg))
+            edt = edtlib.edt_capped(blocked, _lf_cap(cfg))
         lf_field = rayfield.RayField(blocked=blocked, edt=edt)
 
     st = mcl_mod.update(
@@ -226,7 +226,7 @@ def step(
         # Incremental cache refresh: bitwise-equal to a full rebuild of
         # the NEW grid's EDT (exactness by the JFA reach bound, unit- and
         # e2e-tested); skipped map updates diff empty and keep the cache.
-        new_edt = edtlib.edt_jfa_refresh(
+        new_edt = edtlib.edt_refresh(
             state.edt,
             blocked,
             gridlib.blocked_from_logodds(new_grid),

@@ -144,6 +144,80 @@ def edt_jfa_sharded(
     )(blocked)
 
 
+def edt_capped_sharded(
+    mesh: Mesh,
+    blocked: jax.Array,
+    *,
+    max_dist: float,
+    map_axis: str = "b",
+    sentinel: float | None = None,
+) -> jax.Array:
+    """Range-capped separable EXACT EDT over a row-block-sharded mask —
+    the sharded form of `ops.edt.edt_capped` (the capped-path fast
+    transform; see its docstring for the on-chip A/B vs the JFA).
+
+    Far simpler to distribute than the JFA: the vertical clamped column
+    distance only looks C+1 rows up/down, so ONE exchange of (C+1)-row
+    blocked-mask halos (ppermute both ways) makes the whole transform
+    block-local — the horizontal pass never crosses blocks at all.
+    Bitwise-equal to the replicated `edt_capped` (the C+1 clamp makes
+    beyond-halo seeds irrelevant on both sides; edge blocks mask their
+    missing halo to no-seed exactly like the map edge).
+    """
+    import math as _math
+
+    h, w = blocked.shape
+    d = mesh.shape[map_axis]
+    if h % d != 0:
+        raise ValueError(f"map rows {h} not divisible by '{map_axis}'={d}")
+    lh = h // d
+    C = int(_math.ceil(max_dist))
+    halo = C + 1
+    if halo > lh:
+        raise ValueError(
+            f"edt_capped_sharded: halo {halo} exceeds block height {lh} "
+            f"({h} rows / {d} blocks) — use fewer blocks or a smaller cap"
+        )
+    big = jnp.float32(h + w if sentinel is None else sentinel)
+    up_perm = [(i, i + 1) for i in range(d - 1)]
+    down_perm = [(i + 1, i) for i in range(d - 1)]
+
+    def local(blk):
+        bi = jax.lax.axis_index(map_axis)
+        ht = jax.lax.ppermute(blk[-halo:], map_axis, up_perm)
+        hb = jax.lax.ppermute(blk[:halo], map_axis, down_perm)
+        ht = jnp.where(bi == 0, False, ht)
+        hb = jnp.where(bi == d - 1, False, hb)
+        ext = jnp.concatenate([ht, blk, hb], axis=0)  # [lh + 2*halo, w]
+        eh = lh + 2 * halo
+        ii = jax.lax.broadcasted_iota(jnp.int32, (eh, w), 0)
+        up = ii - jax.lax.cummax(jnp.where(ext, ii, -(1 << 30)), axis=0)
+        down = (
+            jax.lax.cummin(jnp.where(ext, ii, 1 << 30), axis=0, reverse=True)
+            - ii
+        )
+        g = jnp.minimum(jnp.minimum(up, down), C + 1).astype(jnp.float32)
+        g2 = (g * g)[halo : halo + lh]
+        pad = jnp.full((lh, C), jnp.float32(1e9))
+        lpad = jnp.concatenate([pad, g2, pad], axis=1)
+        d2 = g2
+        for k in range(-C, C + 1):
+            if k == 0:
+                continue
+            d2 = jnp.minimum(
+                d2, lpad[:, C + k : C + k + w] + jnp.float32(k * k)
+            )
+        return jnp.sqrt(jnp.minimum(d2, big * big))
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(map_axis, None),),
+        out_specs=P(map_axis, None),
+        check_vma=False,
+    )(blocked)
+
+
 def lf_window_sharded(
     mesh: Mesh,
     edt: jax.Array,

@@ -219,7 +219,7 @@ class MapShardedGridSLAM:
             h, w = grid_l.shape
             blocked = gridlib.blocked_from_logodds(grid_l)
             cap = 5.0 * cfg.mcl.meas_stddev + 2.0
-            edt = dist_edt.edt_jfa_sharded(mesh, blocked, max_dist=cap)
+            edt = dist_edt.edt_capped_sharded(mesh, blocked, max_dist=cap)
             if meas == "likelihood_field":
                 return dist_edt.lf_log_weights_sharded(
                     mesh,

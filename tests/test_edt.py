@@ -71,33 +71,35 @@ class TestJFARefresh:
     """Incremental capped-JFA refresh (round 5, `edt_jfa_refresh`): bitwise
     equality with the full rebuild — by the reach bound, not sampling."""
 
-    CAP = 3.0  # s0 = 4, reach = 2*s0 = 8, so box must exceed 32
+    CAP = 3.0  # reach = ceil(3)+1 = 4, so box must exceed 16
 
     def _refresh(self, old, new, box=48):
-        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+        from slam_tpu.ops.edt import edt_capped, edt_refresh
 
-        prev = edt_jfa(jnp.asarray(old), max_dist=self.CAP)
-        got = edt_jfa_refresh(
+        prev = edt_capped(jnp.asarray(old), self.CAP)
+        got = edt_refresh(
             prev, jnp.asarray(old), jnp.asarray(new),
             max_dist=self.CAP, box=box,
         )
-        want = edt_jfa(jnp.asarray(new), max_dist=self.CAP)
+        want = edt_capped(jnp.asarray(new), self.CAP)
         return np.asarray(got), np.asarray(want), prev
 
     def _plan(self, old, new, box=48):
-        from slam_tpu.ops.edt import _refresh_plan, jfa_reach
+        from slam_tpu.ops.edt import _refresh_plan, edt_capped_reach
 
         return _refresh_plan(
             jnp.asarray(old), jnp.asarray(new),
-            reach=jfa_reach(self.CAP), box=box,
+            reach=edt_capped_reach(self.CAP), box=box,
         )
 
     def test_reach_value(self):
-        from slam_tpu.ops.edt import jfa_reach
+        from slam_tpu.ops.edt import edt_capped_reach, jfa_reach
 
+        assert edt_capped_reach(3.0) == 4
+        assert edt_capped_reach(27.0) == 28
+        # The JFA's (looser) bound, kept for the uncapped transform:
         # cap 3 -> s0 = 4, steps [4,2,1,1] -> reach 8
         assert jfa_reach(3.0) == 8
-        # cap 27 -> s0 = 32, steps [32,16,8,4,2,1,1] -> reach 64
         assert jfa_reach(27.0) == 64
 
     def test_local_edit_bitwise(self, rng):
@@ -155,7 +157,8 @@ class TestJFARefresh:
     def test_randomized_edit_sweep(self, rng):
         """Randomized placements and sizes, both fitting and not: always
         bitwise equal to the full rebuild."""
-        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+        from slam_tpu.ops.edt import edt_capped as edt_jfa
+        from slam_tpu.ops.edt import edt_refresh as edt_jfa_refresh
 
         old = rng.random((80, 96)) < 0.05
         for _ in range(12):
@@ -165,21 +168,38 @@ class TestJFARefresh:
             eh = int(rng.integers(1, 24))
             ew = int(rng.integers(1, 24))
             new[ei : ei + eh, ej : ej + ew] ^= rng.random((min(eh, 80 - ei), min(ew, 96 - ej))) < 0.3
-            prev = edt_jfa(jnp.asarray(old), max_dist=self.CAP)
+            prev = edt_jfa(jnp.asarray(old), self.CAP)
             got = edt_jfa_refresh(
                 prev, jnp.asarray(old), jnp.asarray(new),
                 max_dist=self.CAP, box=40,
             )
-            want = edt_jfa(jnp.asarray(new), max_dist=self.CAP)
+            want = edt_jfa(jnp.asarray(new), self.CAP)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
             old = new  # chain: the refreshed field is the next prev
 
     def test_validation(self):
-        from slam_tpu.ops.edt import edt_jfa, edt_jfa_refresh
+        from slam_tpu.ops.edt import edt_capped, edt_refresh
 
         old = jnp.zeros((64, 64), bool)
-        prev = edt_jfa(old, max_dist=self.CAP)
+        prev = edt_capped(old, self.CAP)
         with pytest.raises(ValueError, match="4\\*reach"):
-            edt_jfa_refresh(prev, old, old, max_dist=self.CAP, box=32)
+            edt_refresh(prev, old, old, max_dist=self.CAP, box=16)
         with pytest.raises(ValueError, match="exceeds map dims"):
-            edt_jfa_refresh(prev, old, old, max_dist=self.CAP, box=80)
+            edt_refresh(prev, old, old, max_dist=self.CAP, box=80)
+
+
+def test_edt_capped_exact_within_cap(rng):
+    """edt_capped is EXACT within the cap (not JFA-approximate): equal to
+    the exact transform wherever the true distance <= cap, and every
+    beyond-cap cell reads > cap (blocked cells exactly 0)."""
+    from slam_tpu.ops import edt
+
+    blocked = jnp.asarray(rng.random((96, 128)) < 0.02)
+    blocked = blocked.at[40, 60].set(True)
+    for cap in (5.0, 12.0, 27.0):
+        full = np.asarray(edt.edt_exact(blocked))
+        got = np.asarray(edt.edt_capped(blocked, cap))
+        near = full <= cap
+        np.testing.assert_allclose(got[near], full[near], rtol=1e-5)
+        assert np.all(got[~near] > cap)
+        assert np.all(got[np.asarray(blocked)] == 0.0)

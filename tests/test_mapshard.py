@@ -340,3 +340,30 @@ def test_map_sharded_table_requires_box():
     mesh = make_mesh(8, beam_axis=4)
     with pytest.raises(ValueError, match="lf_table_box"):
         MapShardedGridSLAM(mesh, cfg)
+
+
+def test_sharded_edt_capped_matches_replicated(rng):
+    """Round 5: the sharded separable capped EDT (one blocked-mask halo
+    exchange) is BITWISE equal to the replicated `edt_capped`."""
+    from slam_tpu.ops.edt import edt_capped
+    from slam_tpu.parallel.edt import edt_capped_sharded
+
+    mesh = make_mesh(8, beam_axis=4)
+    for density, cap in ((0.03, 7.0), (0.2, 12.0), (0.0, 7.0)):
+        blocked = jnp.asarray(rng.random((96, 80)) < density)
+        want = edt_capped(blocked, cap)
+        blocked_sh = jax.device_put(blocked, grid_sharding(mesh))
+        got = edt_capped_sharded(mesh, blocked_sh, max_dist=cap)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want),
+            err_msg=f"density={density} cap={cap}",
+        )
+
+
+def test_sharded_edt_capped_rejects_small_blocks():
+    from slam_tpu.parallel.edt import edt_capped_sharded
+
+    mesh = make_mesh(8, beam_axis=8)  # blocks of 8 rows
+    blocked = jax.device_put(jnp.zeros((64, 64), bool), grid_sharding(mesh))
+    with pytest.raises(ValueError, match="block height"):
+        edt_capped_sharded(mesh, blocked, max_dist=30.0)

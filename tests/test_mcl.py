@@ -846,7 +846,7 @@ def test_incremental_edt_slam_bitwise_equivalence():
     from slam_tpu.ops import edt as edtlib
 
     final = inc_states[-1]
-    want = edtlib.edt_jfa(
-        gridlib.blocked_from_logodds(final.grid), max_dist=7.0
+    want = edtlib.edt_capped(
+        gridlib.blocked_from_logodds(final.grid), 7.0
     )
     np.testing.assert_array_equal(np.asarray(final.edt), np.asarray(want))

@@ -59,6 +59,42 @@ def make_variant(kind, h, w, max_dist):
             v = v & (jj < ww + dj)
         return v
 
+    if kind == "sep":
+        # Separable capped EXACT transform: vertical clamped column
+        # distance (cummax/cummin, no gathers) then a (2C+1)-candidate
+        # shifted-min horizontal pass with precomputed k^2 constants —
+        # ~2 ALU ops per candidate vs the JFA's ~13 (no seed unpack, no
+        # converts), and exact rather than JFA+1-approximate.
+        C = int(math.ceil(max_dist))
+
+        def run(blocked):
+            ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            up = ii - jax.lax.cummax(
+                jnp.where(blocked, ii, -(1 << 30)), axis=0
+            )
+            down = (
+                jax.lax.cummin(
+                    jnp.where(blocked, ii, 1 << 30), axis=0, reverse=True
+                )
+                - ii
+            )
+            g = jnp.minimum(jnp.minimum(up, down), C + 1).astype(
+                jnp.float32
+            )
+            g2 = g * g
+            pad = jnp.full((h, C), jnp.float32(1e9))
+            lpad = jnp.concatenate([pad, g2, pad], axis=1)
+            d2 = g2
+            for k in range(-C, C + 1):
+                if k == 0:
+                    continue
+                d2 = jnp.minimum(
+                    d2, lpad[:, C + k : C + k + w] + jnp.float32(k * k)
+                )
+            return jnp.sqrt(jnp.minimum(d2, big * big))
+
+        return jax.jit(run)
+
     if kind in ("divmod", "shift"):
 
         def run(blocked):
@@ -169,7 +205,7 @@ def main():
     outs, res = {}, {}
     # Interleave variants round-robin so window drift cancels.
     fns = {k: make_variant(k, h, w, args.max_dist) for k in
-           ("divmod", "shift", "carry2")}
+           ("divmod", "shift", "carry2", "sep")}
     for k, f in fns.items():
         outs[k] = f(blocked)
         fence(outs[k])
@@ -185,10 +221,16 @@ def main():
     for k in res:
         res[k] = res[k] / (args.iters * reps) * 1e3
         print(f"# {k:8s} {res[k]:8.3f} ms", file=sys.stderr, flush=True)
-    # All variants must agree bitwise.
+    # JFA packings must agree bitwise; the separable variant is EXACT, so
+    # within the cap it lower-bounds the (overestimating) JFA and matches
+    # it closely.
     a = np.asarray(outs["divmod"])
     for k in ("shift", "carry2"):
         np.testing.assert_array_equal(a, np.asarray(outs[k]))
+    sep = np.asarray(outs["sep"])
+    near = sep <= args.max_dist
+    assert np.all(sep[near] <= a[near] + 1e-4)
+    assert np.max(a[near] - sep[near]) < 1.0
     print(json.dumps({
         "metric": "jfa_pack_ab_ms",
         "map": f"{h}x{w}", "max_dist": args.max_dist,

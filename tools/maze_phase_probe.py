@@ -149,13 +149,18 @@ def main():
     )
     res["edt_refresh"] = timeit(
         "edt_refresh",
-        lambda e, a, b: edtlib.edt_jfa_refresh(
+        lambda e, a, b: edtlib.edt_refresh(
             e, a, b, max_dist=cap, box=args.edt_box
         ),
         state.edt, bl_prev, bl_next,
     )
     res["edt_full"] = timeit(
         "edt_full",
+        lambda b: edtlib.edt_capped(b, cap),
+        bl_next,
+    )
+    res["edt_jfa_legacy"] = timeit(
+        "edt_jfa_legacy",
         lambda b: edtlib.edt_jfa(b, max_dist=cap),
         bl_next,
     )
@@ -164,7 +169,7 @@ def main():
         lambda g1, g2: edtlib._refresh_plan(
             gridlib.blocked_from_logodds(g1),
             gridlib.blocked_from_logodds(g2),
-            reach=edtlib.jfa_reach(cap),
+            reach=edtlib.edt_capped_reach(cap),
             box=args.edt_box,
         ),
         prev_grid, next_state.grid,
