@@ -369,8 +369,9 @@ def main():
     ap.add_argument(
         "--slam-edt-box", type=int, default=None,
         help="SLAMConfig.edt_box for the production config (round-5 "
-        "incremental scan-localized EDT refresh; must exceed 4*jfa_reach "
-        "= 256 at stddev 5). None = per-step full-map rebuild.",
+        "incremental scan-localized EDT refresh; must exceed "
+        "4*edt_capped_reach = 112 at stddev 5 — measured NEUTRAL on the "
+        "floor plan, see RESULTS.md). None = per-step full-map rebuild.",
     )
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hastar-batch", type=int, default=512)

@@ -196,7 +196,13 @@ def main(argv=None):
         # resumed run continues the same trajectory and noise stream as an
         # uninterrupted one (a real deployment would only carry `state`).
         payload = ckpt_mgr.restore({"state": state, "gt": gt_pose, "key": key})
-        state = payload["state"]
+        # Re-derive the EDT cache from the RESTORED grid: a migrated
+        # old-format checkpoint fills derived leaves from the template
+        # (the fresh empty-map EDT), which would leave the incremental
+        # refresh silently blind to the restored map. No-op when
+        # cfg.edt_box is unset or the checkpoint carried a consistent
+        # cache shape (the rebuild is one capped transform, ~ms).
+        state = slam_mod.rebuild_edt(payload["state"], cfg)
         gt_pose = payload["gt"]
         key = payload["key"]
         start_step = int(ckpt_mgr.latest_step()) + 1

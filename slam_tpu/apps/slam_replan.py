@@ -159,8 +159,10 @@ def main(argv=None):
     slam_s = 0.0
     reached = False
     traj_est, traj_gt = [], []
+    # Map passed as an ARG, not closed over (CLAUDE.md: closing large
+    # arrays into jit stalls compilation — the map is a traced input).
     scan_fn = jax.jit(
-        lambda p, k: fake_lidar.scan(gt_blocked, p, lidar, cfg.raycast, key=k)
+        lambda b, p, k: fake_lidar.scan(b, p, lidar, cfg.raycast, key=k)
     )
 
     def fetch_pose(p):
@@ -210,7 +212,7 @@ def main(argv=None):
         gt = motion_ops.sample_motion_model_odometry(
             k1, odom, gt, jnp.asarray(cfg.motion.alphas)
         )
-        scan = scan_fn(gt, k2)
+        scan = scan_fn(gt_blocked, gt, k2)
         t0 = time.perf_counter()
         state = engine.step(state, odom, scan)
         if t >= 2:

@@ -364,18 +364,22 @@ class SLAMConfig:
     # the map update only when `ScanMatchConfig.mapping` is True (default
     # False — measured worse closed-loop; see ScanMatchConfig.mapping).
     scanmatch: Optional[ScanMatchConfig] = None
-    # Incremental likelihood-field EDT (round 5): carry the capped JFA
+    # Incremental likelihood-field EDT (round 5): carry the capped
     # distance field in SLAMState and refresh it per step only over an
     # edt_box^2 window around the cells whose BLOCKED status actually
-    # flipped (bitwise-exact vs the full rebuild by the JFA reach bound —
-    # `ops.edt.edt_jfa_refresh`; wide-area edits fall back to the full
-    # rebuild, no-flip steps are free). Turns the per-step full-map JFA —
-    # the dominant phase of big-map SLAM — into O(edt_box^2). Constraints:
-    # 4 * jfa_reach(5*meas_stddev + 2) < edt_box <= min(H, W); at the
-    # default meas_stddev=5, reach = 64 so edt_box >= 257 (320 is a good
-    # default on 1000^2+ maps). None = rebuild per step (prior behavior).
-    # Only meaningful for the likelihood-field measurement tiers and/or
-    # scanmatch (the march/lut beam models build no EDT).
+    # flipped (bitwise-exact vs the full rebuild by the locality reach
+    # bound — `ops.edt.edt_refresh`; wide-area edits fall back to the
+    # full rebuild, no-flip steps are free). Turns the per-step full-map
+    # transform — the dominant phase of big-map SLAM — into
+    # O(edt_box^2). Constraints: 4 * edt_capped_reach(5*meas_stddev + 2)
+    # < edt_box <= min(H, W); reach = ceil(cap) + 1, so at the default
+    # meas_stddev=5 (cap 27, reach 28) edt_box >= 113. NOTE the flip set
+    # of a long-range 360-degree scan lives on the beam-ENDPOINT ring —
+    # up to 2*max_dist across — so small boxes constantly fall back;
+    # measured maze winner is 1024 (RESULTS.md round 5). None = rebuild
+    # per step. Only meaningful for the likelihood-field measurement
+    # tiers and/or scanmatch (the march/lut beam models build no EDT);
+    # MapShardedGridSLAM rejects it (replicated cache).
     edt_box: Optional[int] = None
 
     def __post_init__(self):

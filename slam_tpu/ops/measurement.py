@@ -489,6 +489,54 @@ def lf_auto_converged(poses: Pose, cfg, grid_shape, scanner_offset=(0.0, 0.0, 0.
     )
 
 
+def lf_table_window(
+    poses: Pose,
+    *,
+    grid_shape,
+    scanner_offset=(0.0, 0.0, 0.0),
+    table_bins: int = 32,
+    spread_mult: float = 4.0,
+    min_halfwidth: float = 0.02,
+    box_size=None,
+):
+    """Particle-count-independent window statistics of the correlative
+    table: the heading-bin window from the cloud's circular spread and
+    the box origin from its mean sensor cell. Reductions only — psums
+    cleanly over a sharded particle axis, which is why the map-sharded
+    engine reuses this helper verbatim (`parallel/mapshard.py`) instead
+    of duplicating the formulas. Returns
+    ``(mu, binw, halfwidth, headings[t], i0, j0, si, sj)``; ``si, sj``
+    are static box dims (full map when ``box_size`` is None)."""
+    from slam_tpu.core import grid as gridlib
+
+    t = int(table_bins)
+    if t < 2:
+        raise ValueError(f"table_bins must be >= 2, got {t}")
+    h, w = grid_shape
+    sp = sensor_pose(poses, scanner_offset)
+    c = jnp.mean(jnp.cos(sp.theta))
+    s = jnp.mean(jnp.sin(sp.theta))
+    mu = jnp.arctan2(s, c)
+    rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
+    cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
+    halfwidth = jnp.clip(
+        spread_mult * cstd + min_halfwidth, min_halfwidth, jnp.pi
+    )
+    binw = 2.0 * halfwidth / (t - 1)
+    headings = mu + (jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0) * binw
+
+    if box_size is None:
+        si, sj = h, w
+        i0 = j0 = jnp.int32(0)
+    else:
+        si = min(int(box_size), h)
+        sj = min(int(box_size), w)
+        mi, mj = gridlib.world_to_cell((h, w), jnp.mean(sp.x), jnp.mean(sp.y))
+        i0 = jnp.clip(mi - si // 2, 0, h - si).astype(jnp.int32)
+        j0 = jnp.clip(mj - sj // 2, 0, w - sj).astype(jnp.int32)
+    return mu, binw, halfwidth, headings, i0, j0, si, sj
+
+
 def lf_table_prepare(
     field,
     poses: Pose,
@@ -524,42 +572,28 @@ def lf_table_prepare(
                 )
         except AttributeError:
             pass  # not a NamedSharding — no bin axis to use
-    from slam_tpu.core import grid as gridlib
-
     field = as_ray_field(field, rc)
     if field.edt is None:
         raise ValueError(
             "likelihood_field_table needs field.edt (use the 'sdf' backend)"
         )
-    t = int(table_bins)
-    if t < 2:
-        raise ValueError(f"table_bins must be >= 2, got {t}")
     h, w = field.edt.shape
-    sp = sensor_pose(poses, scanner_offset)
-
-    # Heading window from the cloud's circular statistics.
-    c = jnp.mean(jnp.cos(sp.theta))
-    s = jnp.mean(jnp.sin(sp.theta))
-    mu = jnp.arctan2(s, c)
-    rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
-    cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
-    halfwidth = jnp.clip(spread_mult * cstd + min_halfwidth, min_halfwidth, jnp.pi)
-    binw = 2.0 * halfwidth / (t - 1)
-    headings = mu + (jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0) * binw
-
-    # Spatial window (box_size): build only around the cloud's mean sensor
-    # cell. Reduction-only center -> psums cleanly on a sharded particle axis.
+    # Heading window from the cloud's circular statistics + spatial box
+    # around its mean sensor cell (reduction-only -> psums cleanly on a
+    # sharded particle axis).
+    mu, binw, halfwidth, headings, i0, j0, si, sj = lf_table_window(
+        poses,
+        grid_shape=(h, w),
+        scanner_offset=scanner_offset,
+        table_bins=table_bins,
+        spread_mult=spread_mult,
+        min_halfwidth=min_halfwidth,
+        box_size=box_size,
+    )
     if box_size is None:
-        si, sj = h, w
-        i0 = j0 = jnp.int32(0)
         origin = None
         out_shape = None
     else:
-        si = min(int(box_size), h)
-        sj = min(int(box_size), w)
-        mi, mj = gridlib.world_to_cell((h, w), jnp.mean(sp.x), jnp.mean(sp.y))
-        i0 = jnp.clip(mi - si // 2, 0, h - si).astype(jnp.int32)
-        j0 = jnp.clip(mj - sj // 2, 0, w - sj).astype(jnp.int32)
         origin = (i0, j0)
         out_shape = (si, sj)
 

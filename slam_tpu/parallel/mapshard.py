@@ -178,6 +178,19 @@ class MapShardedGridSLAM:
                 "materialize a [T, H, W] array per device — exactly the "
                 "footprint map-block sharding exists to avoid."
             )
+        if cfg.edt_box is not None:
+            # Silently ignoring the knob would (a) let init() build a
+            # full-map REPLICATED EDT cache on one device — the exact
+            # footprint this engine avoids — only to discard it, and (b)
+            # leave the user without the speedup they configured. The
+            # sharded step rebuilds its distributed capped EDT per frame;
+            # an incremental sharded refresh is future work.
+            raise ValueError(
+                "MapShardedGridSLAM does not support SLAMConfig.edt_box "
+                "(the incremental EDT cache is replicated state). Unset "
+                "edt_box, or use ShardedGridSLAM (particle sharding) for "
+                "the incremental refresh."
+            )
         self.mesh = mesh
         self.cfg = cfg
         rfn = sharded_mod._resample_fn(mesh, cfg.mcl)
@@ -212,7 +225,6 @@ class MapShardedGridSLAM:
         def measurement_lf(grid_l, poses, scan):
             import math as _math
 
-            from slam_tpu.core import grid as _grid
             from slam_tpu.ops import measurement as meas_ops
             from slam_tpu.parallel import edt as dist_edt
 
@@ -232,37 +244,26 @@ class MapShardedGridSLAM:
                     z_hit=cfg.mcl.lf_z_hit,
                     z_rand=cfg.mcl.lf_z_rand,
                 )
-            # Boxed-table tier: the heading window / box center are plain
-            # particle reductions (GSPMD psums them over 'p' like the
-            # replicated engine); the padded score WINDOW — (box + 2 pad)^2,
+            # Boxed-table tier: the heading window / box center are the
+            # SHARED reduction-only helper (GSPMD psums them over 'p'
+            # like the replicated engine — one source of truth for the
+            # window formulas); the padded score WINDOW — (box + 2 pad)^2,
             # a few MB regardless of map size — is assembled from the
             # sharded EDT by one psum over 'b'; the table build and the
             # per-particle lookup then reuse the replicated code paths
             # verbatim.
             m = cfg.mcl
-            t = int(m.lf_table_bins)
-            sp = sensor_pose(poses, m.scanner_offset)
-            c = jnp.mean(jnp.cos(sp.theta))
-            s = jnp.mean(jnp.sin(sp.theta))
-            mu = jnp.arctan2(s, c)
-            rbar = jnp.clip(jnp.sqrt(c * c + s * s), 1e-7, 1.0 - 1e-7)
-            cstd = jnp.sqrt(-2.0 * jnp.log(rbar))
-            halfwidth = jnp.clip(
-                m.lf_table_spread * cstd + m.lf_table_min_halfwidth,
-                m.lf_table_min_halfwidth,
-                jnp.pi,
+            mu, binw, halfwidth, headings, i0, j0, si, sj = (
+                meas_ops.lf_table_window(
+                    poses,
+                    grid_shape=(h, w),
+                    scanner_offset=m.scanner_offset,
+                    table_bins=m.lf_table_bins,
+                    spread_mult=m.lf_table_spread,
+                    min_halfwidth=m.lf_table_min_halfwidth,
+                    box_size=m.lf_table_box,
+                )
             )
-            binw = 2.0 * halfwidth / (t - 1)
-            headings = mu + (
-                jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0
-            ) * binw
-            si = min(int(m.lf_table_box), h)
-            sj = min(int(m.lf_table_box), w)
-            mi, mj = _grid.world_to_cell(
-                (h, w), jnp.mean(sp.x), jnp.mean(sp.y)
-            )
-            i0 = jnp.clip(mi - si // 2, 0, h - si).astype(jnp.int32)
-            j0 = jnp.clip(mj - sj // 2, 0, w - sj).astype(jnp.int32)
             pad = int(_math.ceil(cfg.raycast.max_dist)) + 1
             window = dist_edt.lf_window_sharded(
                 mesh,
@@ -337,9 +338,9 @@ class MapShardedGridSLAM:
 
     def init(self, pose: Pose | None = None, seed: int = 0) -> slam_mod.SLAMState:
         state = slam_mod.init(jax.random.key(seed), self.cfg, pose)
-        # This engine's measurement is the block-sharded march; it never
-        # consumes the incremental-EDT cache and its step would drop the
-        # leaf — keep the state pytree structure consistent from init.
+        # No incremental-EDT cache in this engine (edt_box is rejected in
+        # __init__; the LF tiers rebuild the DISTRIBUTED capped EDT per
+        # step) — keep the state pytree structure consistent from init.
         state = state.replace(edt=None)
         state = sharded_mod.shard_state(
             state, self.mesh, self.cfg.mcl.n_particles

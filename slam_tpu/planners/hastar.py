@@ -377,10 +377,12 @@ _INF_PACKED = np.int32(2**31 - 1)
 
 
 def _lattice_chain_device_impl(gp, inv_off, goal_idx, start_idx, k, max_len):
-    """Walk the lattice parent chain on device: scan of scalar gathers,
-    emitting visited flat state indices goal->start (-1 once finished).
-    The host then fetches only this [max_len] buffer instead of the full
-    [S] packed-cost array (see HybridAStar._walk_lattice_chain)."""
+    """Walk (a chunk of) the lattice parent chain on device: a scan of
+    scalar gathers emitting visited flat state indices goal->start (-1
+    once finished), plus the carry (next_idx, done) so the host can
+    CONTINUE the walk from next_idx when a chain outruns one chunk — the
+    host fetches only [max_len] buffers, never the full [S] packed-cost
+    array (see HybridAStar._walk_lattice_chain)."""
     emask = jnp.int32((1 << _EDGE_BITS) - 1)
     inf = jnp.int32(_INF_PACKED)
 
@@ -393,13 +395,13 @@ def _lattice_chain_device_impl(gp, inv_off, goal_idx, start_idx, k, max_len):
         nxt = idx - inv_off[safe % k, word & emask]
         return (jnp.where(stop, idx, nxt), stop), out
 
-    (_, _), cells = jax.lax.scan(
+    (next_idx, done), cells = jax.lax.scan(
         body,
         (jnp.int32(goal_idx), jnp.bool_(False)),
         None,
         length=max_len,
     )
-    return cells
+    return cells, next_idx, done
 
 
 _lattice_chain_device = jax.jit(
@@ -1244,16 +1246,28 @@ class HybridAStar:
         w = self.shape[1]
         s_total = int(np.prod(self.shape)) * k
         max_len = int(min(s_total, 1 << 15))
-        cells = _lattice_chain_device(
-            gp if hasattr(gp, "dtype") else jnp.asarray(gp),
-            self._lat_inv_off_dev,
-            jnp.int32(idx),
-            jnp.int32(start_idx),
-            k,
-            max_len,
-        )
-        cells = np.asarray(cells)
-        cells = cells[cells >= 0]
+        gp = gp if hasattr(gp, "dtype") else jnp.asarray(gp)
+        cur = jnp.int32(idx)
+        chunks = []
+        total = 0
+        while True:
+            cells, cur, done = _lattice_chain_device(
+                gp,
+                self._lat_inv_off_dev,
+                cur,
+                jnp.int32(start_idx),
+                k,
+                max_len,
+            )
+            cells = np.asarray(cells)
+            chunks.append(cells[cells >= 0])
+            total += max_len
+            if bool(done) or total >= s_total:
+                # total >= s_total means the chain revisited a state (a
+                # cycle cannot occur in a consistent gp; bail rather than
+                # loop forever on corrupted state).
+                break
+        cells = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
         path = [(int(c) // k // w, int(c) // k % w) for c in cells]
         path.reverse()
         return path

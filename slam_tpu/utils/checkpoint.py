@@ -132,7 +132,14 @@ def _migrate(raw: dict, template: Any):
                         getattr(tleaf, "dtype", jnp.float32),
                     )
                 break
-        filled.append("/".join(keys))
+        name = "/".join(keys)
+        if keys[-1] == "edt":
+            # A DERIVED cache: the template's value belongs to the
+            # template's grid, not the restored one — consumers must
+            # re-derive (slam.rebuild_edt) after a migrated restore.
+            name += " (derived cache — re-derive from the restored grid," \
+                    " e.g. slam.rebuild_edt)"
+        filled.append(name)
         out.append(fill)
     return jtu.tree_unflatten(treedef, out), filled
 

@@ -209,7 +209,8 @@ def main() -> None:
 
     # Map-block-sharded engine: the grid itself (and its distributed JFA
     # halo exchanges + window psums) crosses the process boundary. 'b'=2
-    # splits the 128-row map into 64-row blocks (>= the 32-cell JFA step).
+    # splits the 128-row map into 64-row blocks (>= the capped transform's
+    # C+1 = 18-row halo at cap 17).
     mesh2 = make_mesh(n_devices, beam_axis=2)
     cfg2 = slam_cfg("likelihood_field_table", 24, 128)
     run_cross_process_slam(

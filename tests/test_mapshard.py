@@ -285,8 +285,9 @@ def test_map_sharded_slam_lf_tiers_match_single_device(measurement, box):
     engine's numerics on the 8-device mesh."""
     import dataclasses as dc
 
-    # 128 rows so the 8-row-block mesh keeps blocks >= the 32-cell JFA
-    # step at cap = 5*stddev+2 = 17 (validated in edt_jfa_sharded).
+    # 128 rows so the 4-row-block mesh keeps blocks >= the capped
+    # transform's C+1 = 18-row halo at cap = 5*stddev+2 = 17 (validated
+    # in edt_capped_sharded).
     hh = ww = 128
     cfg = _cfg()
     cfg = dc.replace(

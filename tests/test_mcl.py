@@ -793,7 +793,7 @@ def test_incremental_edt_slam_bitwise_equivalence():
 
     h = w = 128
     base = SLAMConfig(
-        # meas_stddev=1 -> cap 7 -> reach 16 -> min box 65
+        # meas_stddev=1 -> cap 7 -> capped reach 8 -> min box 33
         mcl=MCLConfig(
             n_particles=48, meas_stddev=1.0,
             measurement="likelihood_field_table",

@@ -513,7 +513,7 @@ def test_sharded_slam_with_incremental_edt_matches_single_device():
 
     hh = 128
     cfg = SLAMConfig(
-        # meas_stddev=1 -> cap 7 -> reach 16 -> min box 65
+        # meas_stddev=1 -> cap 7 -> capped reach 8 -> min box 33
         mcl=MCLConfig(
             n_particles=64, meas_stddev=1.0,
             measurement="likelihood_field_table",
