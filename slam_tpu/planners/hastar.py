@@ -1245,7 +1245,9 @@ class HybridAStar:
         k = self.cfg.theta_res
         w = self.shape[1]
         s_total = int(np.prod(self.shape)) * k
-        max_len = int(min(s_total, 1 << 15))
+        # Chunk size of the device walk; overridable (tests shrink it to
+        # exercise the multi-chunk continuation on short paths).
+        max_len = int(min(s_total, getattr(self, "_chain_chunk", 1 << 15)))
         gp = gp if hasattr(gp, "dtype") else jnp.asarray(gp)
         cur = jnp.int32(idx)
         chunks = []

@@ -457,3 +457,21 @@ class TestSpatialOracles:
             x0, y0, x1, y1 = boxes[k]
             want = valid & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
             np.testing.assert_array_equal(got[k], want)
+
+
+def test_lattice_chain_walk_chunked_continuation():
+    """Round-5 review fix: the device-side parent-chain walk must CONTINUE
+    across chunks when a path outruns one buffer (it used to truncate
+    silently). Shrinking the chunk to 4 forces many continuations; the
+    recovered path must equal the single-chunk walk exactly."""
+    free = wall_map(64, 64, gap=(28, 38))
+    a = Pose.create(10.0, 32.0, 0.0)
+    b = Pose.create(54.0, 32.0, 0.0)
+    cfg = TestHybridAStarLattice.CFG
+    p = HybridAStar(jnp.asarray(free), a, b, cfg)
+    assert p.solve(max_rounds=600)
+    full = p.recover_path()
+    assert len(full) > 8
+    p._chain_chunk = 4
+    chunked = p.recover_path()
+    assert chunked == full
