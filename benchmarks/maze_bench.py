@@ -44,7 +44,7 @@ def find_start(blocked: np.ndarray) -> tuple[float, float]:
     # Out-of-map counts as blocked (the old erosion padded with obstacle),
     # so clearance at the border is distance to the border.
     bpad = np.pad(np.asarray(blocked), 1, constant_values=True)
-    e = np.array(edtlib.edt_jfa(jnp.asarray(bpad), max_dist=64.0))[1:-1, 1:-1]
+    e = np.array(edtlib.edt_capped(jnp.asarray(bpad), 64.0))[1:-1, 1:-1]
     # Candidates are FREE cells only (on a map whose best clearance is
     # <= 1 px the slack band below would otherwise admit blocked cells).
     # Cells clearer than the JFA cap saturate to one plateau value, which

@@ -158,8 +158,8 @@ def main(argv=None):
         if sm_field.edt is None:
             sm_field = rf_mod.RayField(
                 blocked=blocked,
-                edt=edtlib.edt_jfa(
-                    blocked, max_dist=5.0 * cfg.mcl.meas_stddev + 2.0
+                edt=edtlib.edt_capped(
+                    blocked, 5.0 * cfg.mcl.meas_stddev + 2.0
                 ),
             )
         refine_fn = jax.jit(

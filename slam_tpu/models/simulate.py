@@ -75,9 +75,9 @@ def run_localization(
         if sm_field.edt is None:
             sm_field = rayfield.RayField(
                 blocked=jnp.asarray(gt_blocked, bool),
-                edt=edtlib.edt_jfa(
+                edt=edtlib.edt_capped(
                     jnp.asarray(gt_blocked, bool),
-                    max_dist=5.0 * cfg.mcl.meas_stddev + 2.0,
+                    5.0 * cfg.mcl.meas_stddev + 2.0,
                 ),
             )
         refine_fn = jax.jit(

@@ -94,7 +94,7 @@ def main():
     state = full(state)  # realistic spread + learned grid
 
     blocked_now = gridlib.blocked_from_logodds(state.grid)
-    edt_now = edtlib.edt_jfa(blocked_now, max_dist=edt_cap)
+    edt_now = edtlib.edt_capped(blocked_now, edt_cap)
     field = rayfield.RayField(blocked=blocked_now, edt=edt_now)
 
     @jax.jit
@@ -103,8 +103,8 @@ def main():
 
     @jax.jit
     def phase_edt(grid):
-        return edtlib.edt_jfa(
-            gridlib.blocked_from_logodds(grid), max_dist=edt_cap
+        return edtlib.edt_capped(
+            gridlib.blocked_from_logodds(grid), edt_cap
         )
 
     @jax.jit
