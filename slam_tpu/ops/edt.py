@@ -7,17 +7,21 @@ design precomputes a distance field over the map and lets rays take
 obstacle-aware adaptive steps (sphere tracing, see ops/raycast.py:raycast_sdf),
 turning ~1000 probes into ~tens.
 
-Two implementations:
+Three implementations:
 
   * `edt_exact` — exact Euclidean distance via the separable decomposition:
     a vertical run-length pass (cummax/cummin index tricks, no gathers)
     followed by a blocked (min,+) row pass over squared column distances.
-    O(H * W^2 / block) work, fully vectorized; used for static maps and as
-    the oracle.
+    O(H * W^2 / block) work, fully vectorized; the oracle.
   * `edt_jfa` — jump-flooding (JFA+1): O(H * W * log) shifted-min passes,
     no gathers at all. Distances are exact except for rare small
-    overestimates; consumers compensate with a safety margin. Used when the
-    map evolves every step (SLAM mode).
+    overestimates; consumers compensate with a safety margin. The UNCAPPED
+    workhorse (static-map sdf fields).
+  * `edt_capped` — range-capped exact separable transform, O(H * W * cap):
+    the per-step SLAM rebuild (the likelihood-field model only resolves
+    ~5 sigma of distance). ~2x the JFA's on-chip speed at the SLAM cap and
+    exact within it; `edt_refresh` updates it incrementally after
+    localized map edits (bitwise-equal to a full rebuild).
 
 Distances are measured between CELL CENTERS in pixels; blocked cells have
 distance 0.

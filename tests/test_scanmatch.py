@@ -300,3 +300,55 @@ class TestCoarseToFine:
         assert abs(float(r1.x) - float(r2.x)) < 1.0
         assert abs(float(r1.y) - float(r2.y)) < 1.0
         assert abs(float(r1.theta) - float(r2.theta)) < 0.02
+
+
+def test_scanmatch_with_incremental_edt_cache_bitwise():
+    """SLAMConfig.scanmatch composes with the round-5 EDT cache: a
+    scan-matched SLAM run with edt_box is bit-identical to the
+    rebuild-per-step run (the refinement reads the same cached field)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.core.config import (
+        LidarConfig,
+        MapConfig,
+        MCLConfig,
+        RaycastConfig,
+        ScanMatchConfig,
+        SLAMConfig,
+    )
+    from slam_tpu.core.types import Odometry, Pose
+    from slam_tpu.models import fake_lidar, slam as slam_mod
+    from slam_tpu.models.simulate import synthetic_room
+
+    h = w = 128
+    base = SLAMConfig(
+        mcl=MCLConfig(
+            n_particles=32, meas_stddev=1.0,
+            measurement="likelihood_field",
+        ),
+        map=MapConfig(height=h, width=w),
+        lidar=LidarConfig(n_rays=16, max_dist=50.0),
+        raycast=RaycastConfig(step=1.0, max_dist=50.0, backend="sdf"),
+        scanmatch=ScanMatchConfig(window=2, theta_bins=5),
+    )
+    cfg_inc = dc.replace(base, edt_box=72)
+    blocked = jnp.asarray(synthetic_room(h, w))
+    start = Pose.create(64.0, 64.0, 0.3)
+    scan = fake_lidar.scan(blocked, start, base.lidar, base.raycast)
+    odom = Odometry.create(0.01, 1.0, 0.01)
+
+    sa = slam_mod.init(jax.random.key(1), base, start)
+    sb = slam_mod.init(jax.random.key(1), cfg_inc, start)
+    for _ in range(4):
+        sa = slam_mod.step(sa, odom, scan, base)
+        sb = slam_mod.step(sb, odom, scan, cfg_inc)
+    np.testing.assert_array_equal(np.asarray(sa.grid), np.asarray(sb.grid))
+    for f in ("x", "y", "theta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sa.est_pose, f)),
+            np.asarray(getattr(sb.est_pose, f)),
+        )
