@@ -44,13 +44,18 @@ def cell_to_world(h, i, j):
 
 
 def pick_waypoint(path, h, x, y, lookahead):
-    """First path cell at least `lookahead` world units ahead of (x, y)."""
-    for i, j in path:
-        wx, wy = cell_to_world(h, i, j)
+    """Pure-pursuit target: the first cell >= `lookahead` ahead of the
+    path point NEAREST the robot. Searching from the path start instead
+    would pick cells the robot already passed (between replans the path
+    head falls up to replan_every*speed behind), steering it backward
+    into a limit-cycle wiggle."""
+    pts = [cell_to_world(h, i, j) for i, j in path]
+    near = min(range(len(pts)),
+               key=lambda k: (pts[k][0] - x) ** 2 + (pts[k][1] - y) ** 2)
+    for wx, wy in pts[near:]:
         if math.hypot(wx - x, wy - y) >= lookahead:
             return wx, wy
-    i, j = path[-1]
-    return cell_to_world(h, i, j)
+    return pts[-1]
 
 
 def main(argv=None):
