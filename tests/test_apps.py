@@ -189,3 +189,25 @@ def test_slam_replan_app(tmp_path):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+def test_replan_waypoint_search_skips_passed_cells():
+    """Regression for the round-5 pursuit fix: the waypoint search must
+    start at the path point NEAREST the robot, not the path head — the
+    head falls behind between replans, and a behind-cell >= lookahead
+    away would steer the robot backward into a limit-cycle wiggle."""
+    from slam_tpu.apps.slam_replan import cell_to_world, pick_waypoint
+
+    h = 64
+    # Straight east-bound corridor path along row i=32 (world y = 31.5).
+    path = [(32, j) for j in range(2, 60)]
+    # Robot mid-path at x ~= 30; cells near the head are ~25 units BEHIND
+    # and would match a naive >= lookahead scan from the start.
+    wx, wy = pick_waypoint(path, h, 30.0, 31.5, lookahead=8.0)
+    assert wx > 30.0, (wx, wy)  # ahead, not behind
+    assert abs(wx - 30.0 - 8.0) <= 1.0  # first cell past the lookahead
+    assert wy == 31.5
+    # Past the last cell: returns the path end (never an earlier cell).
+    ex, ey = cell_to_world(h, *path[-1])
+    wx, wy = pick_waypoint(path, h, ex + 3.0, ey, lookahead=8.0)
+    assert (wx, wy) == (ex, ey)
