@@ -18,7 +18,8 @@ standard frontier assumption); replans repair the path as walls appear.
 
     python -m slam_tpu.apps.slam_replan --cpu            # smoke (room)
     python -m slam_tpu.apps.slam_replan --map /root/reference/assets/floor_plan.png \
-        --particles 100000 --replan-every 10             # on-chip demo
+        --particles 100000 --replan-every 10 --n-rays 90  # on-chip demo
+        # (RESULTS.md row: reaches the goal in ~414 steps at ~5.4 Hz)
 
 Emits one JSON line: combined step rate, SLAM step ms, replan latency ms,
 goal outcome; renders the traversed trajectory + final map/path to --out.
@@ -63,7 +64,7 @@ def main(argv=None):
     ap.add_argument("--map", default=None, help="ground-truth PNG (synthetic room if absent)")
     ap.add_argument("--size", type=int, default=192, help="synthetic room size when --map is absent")
     ap.add_argument("--particles", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=400, help="frame budget")
+    ap.add_argument("--steps", type=int, default=600, help="frame budget")
     ap.add_argument("--replan-every", type=int, default=10)
     ap.add_argument("--goal", type=float, nargs=2, default=None, help="world x y (default: far corner free cell)")
     ap.add_argument("--start", type=float, nargs=2, default=None)
